@@ -1,0 +1,74 @@
+"""Affine grid generation and bilinear grid sampling (torch-semantics parity).
+
+Used to warp glyph-cluster maps from the view-1 frame into the view-2 frame
+with the inverse-affine θ recorded by the augmentation pipeline, matching
+``F.affine_grid``/``F.grid_sample`` as called in ``Dino/model/dino_vision.py:72-77``
+and ``train.py:234-236`` (bilinear, zero padding, align_corners=False).
+
+Arrays are channel-last: input (B, H, W, C), grid (B, H, W, 2) with xy in
+[-1, 1]. The sampler is a vectorized 4-tap gather with zero-padding validity
+weights — static shapes, no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def affine_grid(theta: jnp.ndarray, size_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Generate a (B, H, W, 2) sampling grid from (B, 2, 3) affine matrices.
+
+    align_corners=False convention: base coords are pixel centers
+    ``(2i+1)/S - 1``.
+    """
+    h, w = size_hw
+    b = theta.shape[0]
+    xs = (2.0 * jnp.arange(w, dtype=theta.dtype) + 1.0) / w - 1.0
+    ys = (2.0 * jnp.arange(h, dtype=theta.dtype) + 1.0) / h - 1.0
+    gx, gy = jnp.meshgrid(xs, ys)  # (H, W)
+    ones = jnp.ones_like(gx)
+    base = jnp.stack([gx, gy, ones], axis=-1)  # (H, W, 3)
+    # grid[b, i, j, :] = theta[b] @ [x, y, 1]; tiny contraction — keep fp32
+    # precision even on TPU so warp coordinates match the fp32 reference
+    grid = jnp.einsum("bkc,hwc->bhwk", theta, base,
+                      precision=jax.lax.Precision.HIGHEST)  # (B, H, W, 2)
+    return jnp.broadcast_to(grid, (b, h, w, 2))
+
+
+def grid_sample(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample ``x`` (B, H, W, C) at ``grid`` (B, Ho, Wo, 2).
+
+    Zero padding for out-of-bounds, align_corners=False:
+    ``src = (g + 1) * S / 2 - 0.5``.
+    """
+    b, h, w, c = x.shape
+    gx = (grid[..., 0] + 1.0) * w / 2.0 - 0.5  # (B, Ho, Wo)
+    gy = (grid[..., 1] + 1.0) * h / 2.0 - 0.5
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    fx = gx - x0
+    fy = gy - y0
+
+    def tap(yi, xi, wgt):
+        valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        # batched gather: (B, Ho, Wo) indices into (B, H, W, C)
+        vals = jnp.take_along_axis(
+            x.reshape(b, h * w, c),
+            (yi_c * w + xi_c).reshape(b, -1, 1),
+            axis=1,
+        ).reshape(yi.shape + (c,))
+        return vals * (wgt * valid.astype(x.dtype))[..., None]
+
+    out = (
+        tap(y0, x0, (1 - fx) * (1 - fy))
+        + tap(y0, x0 + 1, fx * (1 - fy))
+        + tap(y0 + 1, x0, (1 - fx) * fy)
+        + tap(y0 + 1, x0 + 1, fx * fy)
+    )
+    return out

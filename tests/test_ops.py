@@ -1,0 +1,210 @@
+"""Ops parity tests: resize/warp vs torch, CC labeling vs a BFS ground truth."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ccd_tpu.ops import (
+    affine_grid, grid_sample, kmeans_foreground_mask, label_clusters,
+    resize_bicubic, resize_bilinear, char_attention_pool,
+)
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+# ------------------------------------------------------------------ resize
+
+def test_bilinear_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 26, 32, 128)).astype(np.float32)
+    out = resize_bilinear(jnp.asarray(x), (8, 32), channel_last=False)
+    ref = F.interpolate(torch.from_numpy(x), size=(8, 32), mode="bilinear").numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_bilinear_upsample_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(3, 1, 8, 32)).astype(np.float32)
+    out = resize_bilinear(jnp.asarray(x), (32, 128), channel_last=False)
+    ref = F.interpolate(torch.from_numpy(x), size=(32, 128), mode="bilinear").numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_bicubic_posembed_scale_matches_torch():
+    # the exact call pattern of the reference pos-embed interpolation:
+    # (1, E, 16, 16) -> bicubic scale_factor ((8+0.1)/16, (32+0.1)/16)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 24, 16, 16)).astype(np.float32)
+    out = resize_bicubic(jnp.asarray(x), (8, 32), scale=(8.1 / 16, 32.1 / 16),
+                         channel_last=False)
+    ref = F.interpolate(torch.from_numpy(x), scale_factor=(8.1 / 16, 32.1 / 16),
+                        mode="bicubic", recompute_scale_factor=False).numpy()
+    assert ref.shape == (1, 24, 8, 32)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_bilinear_channel_last():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 32, 128, 3)).astype(np.float32)
+    out = resize_bilinear(jnp.asarray(x), (16, 64))
+    ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(16, 64),
+                        mode="bilinear").numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+# ------------------------------------------------------------------ warp
+
+def test_affine_grid_and_sample_match_torch():
+    rng = np.random.default_rng(4)
+    theta = np.tile(np.eye(2, 3, dtype=np.float32), (4, 1, 1))
+    theta += rng.normal(scale=0.15, size=theta.shape).astype(np.float32)
+    x = rng.normal(size=(4, 26, 32, 128)).astype(np.float32)
+
+    grid_t = F.affine_grid(torch.from_numpy(theta), size=(4, 1, 32, 128),
+                           align_corners=False)
+    out_t = F.grid_sample(torch.from_numpy(x), grid_t, mode="bilinear",
+                          padding_mode="zeros", align_corners=False).numpy()
+
+    grid_j = affine_grid(jnp.asarray(theta), (32, 128))
+    np.testing.assert_allclose(np.asarray(grid_j), grid_t.numpy(), atol=1e-5)
+    out_j = grid_sample(jnp.asarray(x.transpose(0, 2, 3, 1)), grid_j)
+    np.testing.assert_allclose(np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-4)
+
+
+# ------------------------------------------------------------------ CC labeling
+
+def _bfs_label_reference(mask, num_slots=26, min_area=30):
+    """Pure-numpy reimplementation of the reference label_cluster semantics
+    (8-connected components in raster first-pixel order, area filter, first
+    num_slots kept, sorted by mean x)."""
+    h, w = mask.shape
+    fg = mask > 0.5
+    labels = -np.ones((h, w), dtype=np.int64)
+    comps = []
+    for i in range(h):
+        for j in range(w):
+            if fg[i, j] and labels[i, j] < 0:
+                stack = [(i, j)]
+                labels[i, j] = len(comps)
+                pix = []
+                while stack:
+                    a, b = stack.pop()
+                    pix.append((a, b))
+                    for da in (-1, 0, 1):
+                        for db in (-1, 0, 1):
+                            na, nb = a + da, b + db
+                            if 0 <= na < h and 0 <= nb < w and fg[na, nb] and labels[na, nb] < 0:
+                                labels[na, nb] = len(comps)
+                                stack.append((na, nb))
+                comps.append(pix)
+    kept = []
+    for pix in comps:
+        if len(pix) >= min_area:
+            kept.append(pix)
+            if len(kept) >= num_slots:
+                break
+    kept.sort(key=lambda pix: np.mean([b for _, b in pix]))
+    out = np.zeros((num_slots, h, w), dtype=np.float32)
+    for s, pix in enumerate(kept):
+        for a, b in pix:
+            out[s, a, b] = 1.0
+    return out
+
+
+def _random_blob_mask(rng, h=32, w=128, n_blobs=6):
+    mask = np.zeros((h, w), dtype=np.float32)
+    for _ in range(n_blobs):
+        ch = rng.integers(4, h - 4)
+        cw = rng.integers(6, w - 6)
+        rh = rng.integers(2, 7)
+        rw = rng.integers(2, 7)
+        mask[max(0, ch - rh):ch + rh, max(0, cw - rw):cw + rw] = 1.0
+    return mask
+
+
+def test_label_clusters_matches_bfs_reference():
+    rng = np.random.default_rng(5)
+    masks = np.stack([_random_blob_mask(rng) for _ in range(8)])
+    ours = np.asarray(label_clusters(jnp.asarray(masks)))
+    for b in range(masks.shape[0]):
+        ref = _bfs_label_reference(masks[b])
+        np.testing.assert_array_equal(ours[b], ref, err_msg=f"sample {b}")
+
+
+def test_label_clusters_empty_and_full():
+    empty = jnp.zeros((1, 32, 128))
+    out = np.asarray(label_clusters(empty))
+    assert out.sum() == 0
+    full = jnp.ones((1, 32, 128))
+    out = np.asarray(label_clusters(full))
+    assert out[0, 0].sum() == 32 * 128  # one giant component in slot 0
+    assert out[0, 1:].sum() == 0
+
+
+def test_label_clusters_area_filter():
+    mask = np.zeros((1, 32, 128), dtype=np.float32)
+    mask[0, 2:4, 2:4] = 1.0  # 4 px — below min_area=30
+    mask[0, 10:20, 40:50] = 1.0  # 100 px — kept
+    out = np.asarray(label_clusters(jnp.asarray(mask)))
+    assert out[0, 0].sum() == 100
+    assert out[0, 1:].sum() == 0
+
+
+def test_label_clusters_left_to_right_order():
+    mask = np.zeros((1, 32, 128), dtype=np.float32)
+    mask[0, 20:28, 100:110] = 1.0  # right blob, encountered second
+    mask[0, 2:10, 5:15] = 1.0      # left blob, encountered first
+    out = np.asarray(label_clusters(jnp.asarray(mask)))
+    # slot 0 must be the LEFT blob regardless of raster encounter order
+    assert out[0, 0, 5, 10] == 1.0 and out[0, 0, 24, 105] == 0.0
+    assert out[0, 1, 24, 105] == 1.0
+
+
+# ------------------------------------------------------------------ kmeans mask
+
+def test_kmeans_mask_bimodal():
+    rng = np.random.default_rng(6)
+    # dark text strokes (30) on bright background (220)
+    img = np.full((2, 32, 128), 220.0, dtype=np.float32)
+    img[:, 10:22, 20:100] = 30.0
+    img += rng.normal(scale=5.0, size=img.shape).astype(np.float32)
+    mask = np.asarray(kmeans_foreground_mask(jnp.asarray(img)))
+    # text region is 1, border is 0
+    assert mask[:, 16, 60].min() == 1.0
+    assert mask[:, 0, :].max() == 0.0
+    assert mask[:, -1, :].max() == 0.0
+
+
+def test_kmeans_mask_polarity_flip():
+    # bright text on dark background: borders are majority cluster-of-dark
+    img = np.full((1, 32, 128), 20.0, dtype=np.float32)
+    img[:, 12:20, 30:90] = 230.0
+    mask = np.asarray(kmeans_foreground_mask(jnp.asarray(img)))
+    assert mask[0, 16, 60] == 1.0
+    assert mask[0, 0, 0] == 0.0
+
+
+# ------------------------------------------------------------------ pooling
+
+def test_char_attention_pool_matches_reference_math():
+    rng = np.random.default_rng(7)
+    feats = rng.normal(size=(2, 8, 32, 16)).astype(np.float32)
+    clusters = np.zeros((2, 26, 32, 128), dtype=np.float32)
+    clusters[:, 0, 4:10, 8:24] = 1.0
+    clusters[:, 1, 12:20, 60:90] = 1.0
+    vecs, index = char_attention_pool(jnp.asarray(feats), jnp.asarray(clusters))
+
+    # torch reference math (dino_vision.py:38-49)
+    f_t = torch.from_numpy(feats.transpose(0, 3, 1, 2))  # NCHW
+    c_t = F.interpolate(torch.from_numpy(clusters), size=(8, 32), mode="bilinear")
+    sums = c_t.reshape(2, 26, -1).sum(-1)
+    norm = c_t / sums[..., None, None]
+    norm[torch.isnan(norm)] = 0
+    v = f_t.permute(0, 2, 3, 1).reshape(2, -1, 16)
+    ref = torch.bmm(norm.reshape(2, 26, -1), v).numpy()
+    ref_index = (sums > 0).numpy()
+
+    np.testing.assert_allclose(np.asarray(vecs), ref, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(index), ref_index)
