@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Headline benchmark: CCD ViT-Small pretrain throughput (images/sec/chip).
+
+Measures the full compiled pretrain iteration — 3-view device augmentation,
+student ViT+SegHead forward/backward, device-side glyph clustering, char
+pooling, 65536-dim DINO heads for student+teacher, both losses, AdamW, EMA,
+center update — on one chip with the reference's ViT-Small configuration
+(batch 64/chip, patch 4, 32x128 images).
+
+Baseline: the reference publishes no throughput (BASELINE.md); its hardware
+is RTX 3090s with the clustering loop on host CPU blocking every step. We
+use an estimated 100 img/s/3090 for that stack (ViT-S fwd+bwd on 2 views +
+teacher fwd + 65k head at fp16 on ~12 effective TFLOPS, further capped by the
+per-sample skimage clustering in the forward); the north-star target is 2x
+that per chip (BASELINE.json), so ``vs_baseline = value / 100.0`` reports the
+multiple of the estimated 3090 rate (>= 2.0 meets the target).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+ESTIMATED_3090_IMG_PER_SEC = 100.0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--smoke", action="store_true",
+                        help="tiny CPU-runnable variant (not the headline number)")
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--steps", type=int, default=20)
+    args = parser.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ccd_tpu.data.augment import pretrain_views
+    from ccd_tpu.data.synthetic import make_synthetic_batch
+    from ccd_tpu.losses import teacher_temp_schedule
+    from ccd_tpu.models import CCDPretrainModel
+    from ccd_tpu.training import init_pretrain_state, make_pretrain_step
+
+    if args.smoke:
+        arch, out_dim, batch, dtype = "vit_tiny", 1024, 8, jnp.float32
+    else:
+        arch, out_dim, batch, dtype = "vit_small", 65536, args.batch or 64, jnp.bfloat16
+
+    student = CCDPretrainModel(arch=arch, out_dim=out_dim, with_seg_head=True,
+                               norm_last_layer=False, drop_path_rate=0.1,
+                               dtype=dtype)
+    teacher = CCDPretrainModel(arch=arch, out_dim=out_dim, with_seg_head=False,
+                               dtype=dtype)
+    state, tx = init_pretrain_state(jax.random.PRNGKey(0), student, teacher)
+    step = make_pretrain_step(
+        student, teacher, tx,
+        base_lr=5e-4 * batch / 256.0, min_lr=1e-6, total_iters=100_000,
+        warmup_iters=1000, weight_decay=0.04, weight_decay_end=0.4,
+        momentum_teacher=0.9995,
+        teacher_temps=teacher_temp_schedule(0.04, 0.04, 0, 100),
+        clip_grad=3.0, freeze_last_layer=1, global_batch=batch,
+        imgnet_based=1_000_000)
+
+    jstep = jax.jit(step, donate_argnums=(0,))
+    jviews = jax.jit(pretrain_views, static_argnames=("severity",))
+
+    images_u8, masks, _ = make_synthetic_batch(batch, seed=0)
+    raw = jnp.asarray(images_u8, jnp.float32) / 255.0
+    masks_d = jnp.asarray(masks)
+    rng = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    for i in range(3):
+        rng, k = jax.random.split(rng)
+        views, theta = jviews(k, raw, severity=5)
+        state, metrics = jstep(state, views, masks_d, theta)
+    jax.block_until_ready(metrics["loss"])
+
+    start = time.perf_counter()
+    for i in range(args.steps):
+        rng, k = jax.random.split(rng)
+        views, theta = jviews(k, raw, severity=5)
+        state, metrics = jstep(state, views, masks_d, theta)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - start
+
+    ips = batch * args.steps / elapsed
+    print(json.dumps({
+        "metric": "pretrain_images_per_sec_per_chip_vit_small" if not args.smoke
+                  else "pretrain_images_per_sec_smoke",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / ESTIMATED_3090_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

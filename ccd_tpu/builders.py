@@ -1,0 +1,100 @@
+"""Config -> model/state builders shared by the entry-point CLIs."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ccd_tpu.config import Config
+from ccd_tpu.convertor import AttnConvertor
+from ccd_tpu.models import CCDPretrainModel, CCDRecognizer
+from ccd_tpu.checkpoints.torch_import import (
+    convert_pretrain_checkpoint, convert_recognizer_checkpoint,
+)
+
+
+def compute_dtype(config: Config):
+    name = getattr(config, "compute_dtype", None) or "float32"
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[str(name)]
+
+
+def build_recognizer(config: Config) -> Tuple[CCDRecognizer, AttnConvertor]:
+    """DINO_Finetune equivalent (dino_vision.py:135-183): the convertor's
+    num_classes/start/padding ids override the config decoder block."""
+    arch = str(config.arch).replace("deit", "vit")
+    convertor = AttnConvertor(dict_type=config.dataset_charset_type or "DICT90",
+                              max_seq_len=config.decoder_max_seq_len,
+                              with_unknown=True)
+    model = CCDRecognizer(
+        arch=arch,
+        patch_size=config.patch_size,
+        drop_path_rate=config.drop_path_rate,
+        decoder_n_layers=config.decoder_n_layers,
+        decoder_d_embedding=config.decoder_d_embedding,
+        decoder_n_head=config.decoder_n_head,
+        decoder_d_k=config.decoder_d_k,
+        decoder_d_v=config.decoder_d_v,
+        decoder_d_model=config.decoder_d_model,
+        decoder_d_inner=config.decoder_d_inner,
+        num_classes=convertor.num_classes(),
+        max_seq_len=config.decoder_max_seq_len,
+        start_idx=convertor.start_idx,
+        padding_idx=convertor.padding_idx,
+        dtype=compute_dtype(config),
+    )
+    return model, convertor
+
+
+def build_pretrain_models(config: Config) -> Tuple[CCDPretrainModel, CCDPretrainModel]:
+    """Student (with SegHead + drop path) and teacher (plain), train.py:62-91."""
+    arch = str(config.arch).replace("deit", "vit")
+    dtype = compute_dtype(config)
+    student = CCDPretrainModel(
+        arch=arch, patch_size=config.patch_size,
+        drop_path_rate=config.drop_path_rate, out_dim=config.out_dim,
+        use_bn_in_head=bool(config.use_bn_in_head),
+        norm_last_layer=bool(config.norm_last_layer), with_seg_head=True,
+        dtype=dtype)
+    teacher = CCDPretrainModel(
+        arch=arch, patch_size=config.patch_size, drop_path_rate=0.0,
+        out_dim=config.out_dim, use_bn_in_head=bool(config.use_bn_in_head),
+        norm_last_layer=True, with_seg_head=False, dtype=dtype)
+    return student, teacher
+
+
+def is_torch_checkpoint(path: str) -> bool:
+    return os.path.isfile(path) and path.endswith((".pth", ".pt", ".bin"))
+
+
+def load_recognizer_params(path: str, model: CCDRecognizer,
+                           init_params: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Load finetune weights from a torch .pth or an Orbax directory."""
+    if is_torch_checkpoint(path):
+        depth = 12
+        return convert_recognizer_checkpoint(path, n_layers=model.decoder_n_layers,
+                                             depth=depth)
+    from ccd_tpu.checkpoints.orbax_io import restore_pytree
+    return restore_pytree(path, init_params)
+
+
+def load_pretrained_backbone(path: str, params: Dict[str, Any],
+                             branch: str = "teacher") -> Dict[str, Any]:
+    """Copy the pretrain checkpoint's backbone into recognizer params
+    (the name-matched 'teacher' -> finetune handoff, train_finetune.py:191-200)."""
+    src_params, _ = convert_pretrain_checkpoint(path, branch=branch) \
+        if is_torch_checkpoint(path) else (_restore_pretrain(path), None)
+    new = dict(params)
+    new["backbone"] = src_params["backbone"]
+    return new
+
+
+def _restore_pretrain(path: str) -> Dict[str, Any]:
+    from ccd_tpu.checkpoints.orbax_io import restore_pytree
+    tree = restore_pytree(path)
+    # orbax pretrain state stores teacher_params = {backbone, head}
+    if "teacher_params" in tree:
+        return tree["teacher_params"]
+    return tree

@@ -1,0 +1,223 @@
+"""Batched, device-side augmentation (replaces the imgaug CPU pipelines).
+
+The reference burns DataLoader-worker CPU on per-sample imgaug chains
+(``Dino/dataset/augmentation_pipelines.py`` severity-5 photometrics and the
+per-view ``iaa.Affine`` with recorded θ, ``datasetsupervised_kmeans.py:48-87``).
+Here the whole batch is augmented on device in one jitted, seeded function —
+elementwise VPU work XLA fuses for free — and the θ-matrix bookkeeping is
+exact: θ is the normalized inverse affine mapping view-2 grid coordinates
+back to the source frame, the same matrix fed to ``affine_grid``/
+``grid_sample`` downstream (``dino_vision.py:72-77``).
+
+Families reproduced (severity-scaled like ``get_augmentation_pipeline``):
+additive/multiplicative noise, salt&pepper dropout, brightness/contrast,
+gamma, color channel jitter + temperature shift, grayscale mix, gaussian and
+motion blur, low-frequency intensity fields ("weather"), plus the geometric
+affine of the pretrain third view. Each op draws per-sample Bernoulli gates
+so a batch mixes augmented/identity samples exactly like iaa.Sometimes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ccd_tpu.ops.warp import affine_grid, grid_sample
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def normalize(images: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) float [0,1] -> ImageNet-normalized."""
+    return (images - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def denormalize(images: jnp.ndarray) -> jnp.ndarray:
+    return images * IMAGENET_STD + IMAGENET_MEAN
+
+
+def _per_sample(rng, b, lo, hi):
+    return jax.random.uniform(rng, (b, 1, 1, 1), minval=lo, maxval=hi)
+
+
+def _gate(rng, b, p):
+    return jax.random.bernoulli(rng, p, (b, 1, 1, 1)).astype(jnp.float32)
+
+
+def _blend(x, y, gate):
+    return x * (1.0 - gate) + y * gate
+
+
+def _separable_blur(x: jnp.ndarray, sigma: jnp.ndarray, taps: int = 5) -> jnp.ndarray:
+    """Per-sample gaussian blur via two small depthwise convolutions.
+
+    sigma: (B, 1, 1, 1); a sigma of ~0 degrades to identity.
+    """
+    b, h, w, c = x.shape
+    r = taps // 2
+    offsets = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    sig = jnp.maximum(sigma[:, 0, 0, 0], 1e-3)[:, None]  # (B,1)
+    k = jnp.exp(-0.5 * (offsets[None, :] / sig) ** 2)
+    k = k / k.sum(axis=1, keepdims=True)  # (B, taps)
+
+    xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)), mode="edge")
+    rows = jnp.stack([xp[:, i:i + h] for i in range(taps)], axis=-1)  # (B,H,W,C,taps)
+    x = jnp.einsum("bhwct,bt->bhwc", rows, k)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
+    cols = jnp.stack([xp[:, :, i:i + w] for i in range(taps)], axis=-1)
+    return jnp.einsum("bhwct,bt->bhwc", cols, k)
+
+
+def _motion_blur(x: jnp.ndarray, rng, strength: float) -> jnp.ndarray:
+    """Random-direction 5-tap line blur (approximates iaa.MotionBlur)."""
+    b, h, w, c = x.shape
+    horiz = jax.random.bernoulli(rng, 0.5, (b, 1, 1, 1)).astype(x.dtype)
+    xp_h = jnp.pad(x, ((0, 0), (0, 0), (2, 2), (0, 0)), mode="edge")
+    blur_h = sum(xp_h[:, :, i:i + w] for i in range(5)) / 5.0
+    xp_v = jnp.pad(x, ((0, 0), (2, 2), (0, 0), (0, 0)), mode="edge")
+    blur_v = sum(xp_v[:, i:i + h] for i in range(5)) / 5.0
+    blurred = horiz * blur_h + (1.0 - horiz) * blur_v
+    return x * (1.0 - strength) + blurred * strength
+
+
+def _low_freq_field(rng, b, h, w, amp) -> jnp.ndarray:
+    """Smooth per-sample intensity field (fog/cloud-style 'weather')."""
+    coarse = jax.random.uniform(rng, (b, 4, 8, 1), minval=-1.0, maxval=1.0)
+    up = jax.image.resize(coarse, (b, h, w, 1), method="linear")
+    return up * amp
+
+
+def photometric_augment(rng: jnp.ndarray, images: jnp.ndarray,
+                        severity: int = 5) -> jnp.ndarray:
+    """Severity-scaled photometric chain on (B, H, W, 3) float [0,1] images.
+
+    Mirrors iaa Sometimes(0.2, Identity, Sequential[noise, color, blur,
+    contrast, weather]) at severity 5: 80% of samples get the chain, each
+    family gated per-sample.
+    """
+    b, h, w, _ = images.shape
+    s = severity / 5.0
+    keys = jax.random.split(rng, 16)
+    x = images
+
+    # --- arithmetic noise
+    noise = jax.random.normal(keys[0], x.shape) * _per_sample(keys[1], b, 0.0, 0.08 * s)
+    x = _blend(x, jnp.clip(x + noise, 0, 1), _gate(keys[2], b, 0.5))
+    # salt & pepper dropout
+    sp = jax.random.uniform(keys[3], (b, h, w, 1))
+    amount = 0.02 * s
+    x_sp = jnp.where(sp < amount / 2, 0.0, jnp.where(sp > 1 - amount / 2, 1.0, x))
+    x = _blend(x, x_sp, _gate(keys[4], b, 0.3))
+
+    # --- color
+    chan_mul = jax.random.uniform(keys[5], (b, 1, 1, 3), minval=1 - 0.25 * s,
+                                  maxval=1 + 0.25 * s)
+    x = _blend(x, jnp.clip(x * chan_mul, 0, 1), _gate(keys[6], b, 0.5))
+    gray = jnp.mean(x, axis=-1, keepdims=True)
+    gray_mix = _per_sample(keys[7], b, 0.0, 0.6 * s)
+    x = _blend(x, x * (1 - gray_mix) + gray * gray_mix, _gate(keys[8], b, 0.3))
+
+    # --- blur
+    sigma = _per_sample(keys[9], b, 0.0, 1.2 * s)
+    x = _blend(x, _separable_blur(x, sigma), _gate(keys[10], b, 0.4))
+    x = _blend(x, _motion_blur(x, keys[11], 0.8), _gate(keys[12], b, 0.2))
+
+    # --- contrast / gamma
+    gamma = _per_sample(keys[13], b, 1 - 0.4 * s, 1 + 0.4 * s)
+    contrast = _per_sample(keys[14], b, 1 - 0.4 * s, 1 + 0.4 * s)
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    x_c = jnp.clip((x - mean) * contrast + mean, 0, 1) ** jnp.maximum(gamma, 0.1)
+    x = _blend(x, x_c, _gate(keys[15], b, 0.5))
+
+    # --- weather (low-frequency brightness field)
+    field = _low_freq_field(jax.random.fold_in(rng, 101), b, h, w, 0.15 * s)
+    x = _blend(x, jnp.clip(x + field, 0, 1),
+               _gate(jax.random.fold_in(rng, 102), b, 0.3))
+
+    # iaa.Sometimes(0.2, Identity, <chain>): 20% keep the original
+    keep = _gate(jax.random.fold_in(rng, 103), b, 0.2)
+    return _blend(x, images, keep)
+
+
+def _normalize_matrix(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pixel -> [-1,1] grid-coordinate change of basis (the reference's W_,
+    datasetsupervised_kmeans.py:70)."""
+    w_ = np.array([[2.0 / (w - 1), 0, -1], [0, 2.0 / (h - 1), -1], [0, 0, 1]],
+                  np.float32)
+    return w_, np.linalg.inv(w_).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("apply_prob",))
+def random_affine_with_theta(rng: jnp.ndarray, images: jnp.ndarray,
+                             apply_prob: float = 0.7
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Random affine warp with recorded normalized inverse matrix θ.
+
+    Parameter ranges follow ``iaa.Affine`` in the reference pretrain dataset
+    (scale .6-1.1, translate ±2%, rotate ±10°, shear x ±45° y ±10°,
+    p=0.7); θ is exactly the matrix later used to warp masks/clusters into
+    this view's frame. Returns (warped (B,H,W,3), theta (B,3,3)).
+    """
+    b, h, w, _ = images.shape
+    k = jax.random.split(rng, 7)
+    sx = jax.random.uniform(k[0], (b,), minval=0.6, maxval=1.1)
+    sy = jax.random.uniform(k[1], (b,), minval=0.6, maxval=1.1)
+    tx = jax.random.uniform(k[2], (b,), minval=-0.02, maxval=0.02) * w
+    ty = jax.random.uniform(k[3], (b,), minval=-0.02, maxval=0.02) * h
+    rot = jnp.deg2rad(jax.random.uniform(k[4], (b,), minval=-10.0, maxval=10.0))
+    shx = jnp.tan(jnp.deg2rad(jax.random.uniform(k[5], (b,), minval=-45.0, maxval=45.0)))
+    shy = jnp.tan(jnp.deg2rad(jax.random.uniform(k[6], (b,), minval=-10.0, maxval=10.0)))
+
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    zeros = jnp.zeros_like(sx)
+    ones = jnp.ones_like(sx)
+
+    def mat(rows):
+        return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+    center = mat([[ones, zeros, ones * cx], [zeros, ones, ones * cy],
+                  [zeros, zeros, ones]])
+    center_inv = mat([[ones, zeros, -ones * cx], [zeros, ones, -ones * cy],
+                      [zeros, zeros, ones]])
+    scale = mat([[sx, zeros, zeros], [zeros, sy, zeros], [zeros, zeros, ones]])
+    shear = mat([[ones, shx, zeros], [shy, ones, zeros], [zeros, zeros, ones]])
+    rotm = mat([[jnp.cos(rot), -jnp.sin(rot), zeros],
+                [jnp.sin(rot), jnp.cos(rot), zeros], [zeros, zeros, ones]])
+    trans = mat([[ones, zeros, tx], [zeros, ones, ty], [zeros, zeros, ones]])
+
+    # forward pixel-space map, centered: M = T · C · R · Sh · S · C⁻¹
+    m = trans @ center @ rotm @ shear @ scale @ center_inv
+    m_inv = jnp.linalg.inv(m)
+
+    w_, w_inv = _normalize_matrix(h, w)
+    theta = jnp.einsum("ij,bjk,kl->bil", jnp.asarray(w_), m_inv, jnp.asarray(w_inv))
+
+    apply = jax.random.bernoulli(jax.random.fold_in(rng, 999), apply_prob, (b,))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=theta.dtype), theta.shape)
+    theta = jnp.where(apply[:, None, None], theta, eye)
+
+    grid = affine_grid(theta[:, :2, :], (h, w))
+    warped = grid_sample(images, grid)
+    return warped, theta
+
+
+def pretrain_views(rng: jnp.ndarray, images: jnp.ndarray, severity: int = 5
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build the 3-view pretrain batch on device.
+
+    images: (B, H, W, 3) float [0,1] resized raw images.
+    Returns (views (B, 3, H, W, 3) ImageNet-normalized, theta (B, 3, 3)):
+    view0 = raw, view1 = photometric, view2 = photometric + affine(θ)
+    (``_process_training``, datasetsupervised_kmeans.py:48-87).
+    """
+    k1, k2, k3 = jax.random.split(rng, 3)
+    v1 = photometric_augment(k1, images, severity)
+    v2p = photometric_augment(k2, images, severity)
+    v2, theta = random_affine_with_theta(k3, v2p)
+    views = jnp.stack([normalize(images), normalize(v1), normalize(v2)], axis=1)
+    return views, theta

@@ -1,0 +1,105 @@
+"""Training losses (pure functions over global-batch arrays).
+
+Parity targets:
+  * :func:`seg_loss` — ``SegLoss`` as *invoked* by ``DINOLoss.forward``
+    (``Dino/loss/Dino_loss.py:59-68``): note the reference applies
+    ``F.cross_entropy`` to an already-softmaxed prediction (a double softmax);
+    reproduced as-is.
+  * :func:`dino_char_loss` + :func:`dino_center_update` — ``DINOLoss``
+    (``Dino_loss.py:35-143``) with the ragged valid-char concat replaced by a
+    padded (B, 26) validity mask; the masked mean over (loss * mask) equals
+    the reference's ``.mean()`` over the flattened valid rows. The center's
+    ``dist.all_reduce`` is implicit: under pjit over a batch-sharded array the
+    sums below are global.
+  * :func:`tf_loss` — ``TFLoss`` (``Dino/loss/ce_loss.py:94-128``): shift-one
+    teacher-forcing CE with ``ignore_index=PAD`` and mean reduction.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def seg_loss(seg_logits: jnp.ndarray, gt_masks: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel 2-class CE of softmaxed mask logits vs {0,1} GT.
+
+    seg_logits: (N, H, W, 2); gt_masks: (N, H, W) in {0, 1}.
+    """
+    probs = jax.nn.softmax(seg_logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(probs, axis=-1)  # reference's double softmax
+    labels = gt_masks.astype(jnp.int32)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def teacher_temp_schedule(warmup_teacher_temp: float, teacher_temp: float,
+                          warmup_teacher_temp_epochs: int, nepochs: int) -> np.ndarray:
+    """Per-epoch teacher temperature (Dino_loss.py:47-51)."""
+    return np.concatenate([
+        np.linspace(warmup_teacher_temp, teacher_temp,
+                    warmup_teacher_temp_epochs),
+        np.ones(max(nepochs - warmup_teacher_temp_epochs, 0)) * teacher_temp,
+    ]).astype(np.float32)
+
+
+def dino_char_loss(student_logits: jnp.ndarray, teacher_logits: jnp.ndarray,
+                   valid: jnp.ndarray, center: jnp.ndarray, teacher_temp,
+                   student_temp: float = 0.1) -> jnp.ndarray:
+    """Cross-view character-distillation CE.
+
+    student_logits/teacher_logits: (2B, T, K) — view-1 then view-2 halves.
+    valid: (B, T) bool char-slot mask (shared across views, dino_vision.py:87).
+    center: (1, K) teacher centering state.
+    """
+    b = valid.shape[0]
+    s = (student_logits / student_temp).astype(jnp.float32)
+    s1, s2 = s[:b], s[b:]
+    t = jax.nn.softmax(
+        (teacher_logits.astype(jnp.float32) - center) / teacher_temp, axis=-1)
+    t = jax.lax.stop_gradient(t)
+    t1, t2 = t[:b], t[b:]
+
+    w = valid.astype(jnp.float32)
+    denom = jnp.maximum(w.sum(), 1.0)
+
+    def term(q, v):
+        ce = jnp.sum(-q * jax.nn.log_softmax(v, axis=-1), axis=-1)  # (B, T)
+        return jnp.sum(ce * w) / denom
+
+    # teacher view i distills into student view j != i (Dino_loss.py:94-102)
+    return (term(t1, s2) + term(t2, s1)) / 2.0
+
+
+def dino_center_update(center: jnp.ndarray, teacher_logits: jnp.ndarray,
+                       valid: jnp.ndarray, momentum: float = 0.9) -> jnp.ndarray:
+    """EMA update of the teacher center over valid char slots of both views.
+
+    teacher_logits: (2B, T, K); valid: (B, T) — applied to both halves, like
+    the reference's concat of the two masked views (Dino_loss.py:133-143).
+    """
+    b = valid.shape[0]
+    w2 = jnp.concatenate([valid, valid], axis=0).astype(jnp.float32)  # (2B, T)
+    total = jnp.sum(teacher_logits.astype(jnp.float32) * w2[..., None], axis=(0, 1),
+                    keepdims=False)[None]  # (1, K)
+    count = jnp.maximum(w2.sum(), 1.0)
+    batch_center = total / count
+    return center * momentum + batch_center * (1.0 - momentum)
+
+
+def tf_loss(logits: jnp.ndarray, targets: jnp.ndarray, ignore_index: int
+            ) -> jnp.ndarray:
+    """Teacher-forcing CE: drop last output / first target, mean over non-PAD.
+
+    logits: (N, T, C-1); targets: (N, T) with BOS first.
+    """
+    out = logits[:, :-1].astype(jnp.float32)
+    tgt = targets[:, 1:]
+    mask = (tgt != ignore_index).astype(jnp.float32)
+    logp = jax.nn.log_softmax(out, axis=-1)
+    safe_tgt = jnp.clip(tgt, 0, out.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, safe_tgt[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(mask.sum(), 1.0)

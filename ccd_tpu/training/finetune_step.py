@@ -1,0 +1,84 @@
+"""Jitted supervised-finetune step (teacher-forced CE recognition training).
+
+Parity target: the ``train_finetune.py:262-290`` loop body — forward with
+teacher forcing, CE over non-PAD targets, optional global-norm clipping,
+AdamW with a cosine(warmup) lr schedule and constant weight decay.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ccd_tpu.losses import tf_loss
+from ccd_tpu.models.recognizer import CCDRecognizer
+from ccd_tpu.schedules import cosine_iter_schedule
+from ccd_tpu.training.optim import clip_gradients_global_norm, make_adamw
+
+
+@flax.struct.dataclass
+class FinetuneState:
+    params: Any
+    opt_state: Any
+    iteration: jnp.ndarray
+    rng: jnp.ndarray
+
+
+def init_finetune_state(rng: jnp.ndarray, model: CCDRecognizer,
+                        image_hw=(32, 128)) -> Tuple[FinetuneState, optax.GradientTransformation]:
+    h, w = image_hw
+    init_rng, state_rng = jax.random.split(rng)
+    img = jnp.zeros((2, h, w, 3), jnp.float32)
+    targets = jnp.full((2, model.max_seq_len), model.padding_idx, jnp.int32)
+    targets = targets.at[:, 0].set(model.start_idx)
+    variables = model.init({"params": init_rng, "dropout": init_rng}, img, targets,
+                           train_mode=True)
+    params = variables["params"]
+    tx = make_adamw(params)
+    opt_state = tx.init(params)
+    return FinetuneState(params=params, opt_state=opt_state,
+                         iteration=jnp.zeros((), jnp.int32), rng=state_rng), tx
+
+
+def make_finetune_step(
+    model: CCDRecognizer,
+    tx: optax.GradientTransformation,
+    *,
+    base_lr: float,
+    min_lr: float,
+    total_iters: int,
+    warmup_iters: int,
+    weight_decay: float,
+    clip_grad: Optional[float] = None,
+):
+    def step(state: FinetuneState, images: jnp.ndarray, targets: jnp.ndarray
+             ) -> Tuple[FinetuneState, Dict[str, jnp.ndarray]]:
+        """images: (B, H, W, 3); targets: (B, T) padded target ids."""
+        it = state.iteration
+        lr = cosine_iter_schedule(it, base_lr, min_lr, total_iters, warmup_iters)
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            logits, _ = model.apply({"params": params}, images, targets,
+                                    train_mode=True, deterministic=False,
+                                    rngs={"dropout": dropout_rng})
+            return tf_loss(logits, targets, model.padding_idx)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = clip_gradients_global_norm(grads, clip_grad)
+
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        opt_state.hyperparams["weight_decay"] = jnp.asarray(weight_decay, jnp.float32)
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_state = FinetuneState(params=new_params, opt_state=new_opt_state,
+                                  iteration=it + 1, rng=rng)
+        return new_state, {"loss": loss, "lr": lr}
+
+    return step

@@ -1,0 +1,190 @@
+"""The jitted CCD pretraining step (student/teacher DINO over char features).
+
+This is the TPU-native redesign of the reference hot loop
+(``train.py:183-298`` + ``ABIDINOModel.forward``): ONE compiled function per
+iteration containing student forward (ViT + SegHead), device-side glyph
+clustering (no host round-trip, unlike ``dino_vision.py:59-70``), θ-warping,
+char pooling + DINO head for student and teacher, both losses, backward,
+per-param clipping, AdamW with scheduled lr/wd, the EMA teacher update, and
+the DINO-center EMA. Under a 1-D data mesh the gradient/center/BatchNorm
+reductions are global (GSPMD psum over ICI) with no explicit collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ccd_tpu.losses import dino_char_loss, dino_center_update, seg_loss
+from ccd_tpu.models.pretrain import CCDPretrainModel, char_validity_mask
+from ccd_tpu.ops.cc_label import label_clusters
+from ccd_tpu.ops.warp import affine_grid, grid_sample
+from ccd_tpu.schedules import cosine_iter_schedule
+from ccd_tpu.training.optim import (
+    cancel_last_layer_grads, clip_gradients_per_param, ema_update, make_adamw,
+)
+
+
+@flax.struct.dataclass
+class PretrainState:
+    student_params: Any
+    student_stats: Any
+    teacher_params: Any
+    opt_state: Any
+    center: jnp.ndarray
+    iteration: jnp.ndarray
+    rng: jnp.ndarray
+
+
+def init_pretrain_state(rng: jnp.ndarray, student: CCDPretrainModel,
+                        teacher: CCDPretrainModel, image_hw=(32, 128),
+                        num_slots: int = 26) -> Tuple[PretrainState, optax.GradientTransformation]:
+    """Build initial state: teacher starts as a copy of the student's
+    backbone+head (train.py:109-110)."""
+    h, w = image_hw
+    init_rng, state_rng = jax.random.split(rng)
+    images = jnp.zeros((2, h, w, 3), jnp.float32)
+    clusters = jnp.zeros((2, num_slots, h, w), jnp.float32)
+    variables = student.init({"params": init_rng, "dropout": init_rng},
+                             images, clusters, train=False)
+    student_params = variables["params"]
+    student_stats = variables.get("batch_stats", {})
+    # real copies — the teacher must not alias student buffers (donation safety)
+    teacher_params = {"backbone": jax.tree.map(jnp.copy, student_params["backbone"]),
+                      "head": jax.tree.map(jnp.copy, student_params["head"])}
+    tx = make_adamw(student_params)
+    opt_state = tx.init(student_params)
+    center = jnp.zeros((1, student.out_dim), jnp.float32)
+    state = PretrainState(
+        student_params=student_params, student_stats=student_stats,
+        teacher_params=teacher_params, opt_state=opt_state, center=center,
+        iteration=jnp.zeros((), jnp.int32), rng=state_rng)
+    return state, tx
+
+
+def make_pretrain_step(
+    student: CCDPretrainModel,
+    teacher: CCDPretrainModel,
+    tx: optax.GradientTransformation,
+    *,
+    # schedule configuration (train.py:144-158)
+    base_lr: float,
+    min_lr: float,
+    total_iters: int,
+    warmup_iters: int,
+    weight_decay: float,
+    weight_decay_end: float,
+    momentum_teacher: float,
+    # loss configuration
+    teacher_temps: np.ndarray,       # per-epoch teacher temperature
+    student_temp: float = 0.1,
+    center_momentum: float = 0.9,
+    # training control
+    clip_grad: Optional[float] = 3.0,
+    freeze_last_layer: int = 1,
+    global_batch: int = 64,
+    imgnet_based: int = 1_000_000,
+    gt_mask_epochs: int = 30,        # epoch threshold for GT vs predicted masks
+    num_slots: int = 26,
+):
+    """Build the jitted train step. All arguments are static (baked into the
+    compiled function); state/batch are the only traced inputs."""
+    temps = jnp.asarray(teacher_temps, jnp.float32)
+
+    def step(state: PretrainState, images: jnp.ndarray, masks: jnp.ndarray,
+             theta: jnp.ndarray) -> Tuple[PretrainState, Dict[str, jnp.ndarray]]:
+        """images: (B, 3, H, W, 3) three views NHWC; masks: (B, H, W); theta: (B, 3, 3)."""
+        b, _, h, w, _ = images.shape
+        it = state.iteration
+        # virtual-epoch bookkeeping (train.py:188)
+        epoch = ((it + 1) * global_batch) // imgnet_based
+        teacher_temp = jnp.take(temps, jnp.clip(epoch, 0, temps.shape[0] - 1))
+        lr = cosine_iter_schedule(it, base_lr, min_lr, total_iters, warmup_iters)
+        wd = cosine_iter_schedule(it, weight_decay, weight_decay_end, total_iters)
+        m = cosine_iter_schedule(it, momentum_teacher, 1.0, total_iters)
+
+        rng, drop1, drop2, drop3 = jax.random.split(state.rng, 4)
+        x = jnp.concatenate([images[:, 1], images[:, 2]], axis=0)  # (2B, H, W, 3)
+        grid = affine_grid(theta[:, :2, :].astype(jnp.float32), (h, w))
+
+        def loss_fn(student_params):
+            svars = {"params": student_params, "batch_stats": state.student_stats}
+            (region_f, taps), _ = student.apply(
+                svars, x, True, method="encode", mutable=["batch_stats"],
+                rngs={"dropout": drop1})
+            seg_logits, new_vars = student.apply(
+                svars, taps, True, method="segment", mutable=["batch_stats"],
+                rngs={"dropout": drop2})
+
+            # ---- glyph clusters: GT masks early, self-predicted later
+            # (dino_vision.py:59-70); non-differentiable pseudo-labels
+            pred_fg = (jax.nn.softmax(seg_logits.astype(jnp.float32), axis=-1)
+                       [..., 1] > 0.5).astype(jnp.float32)[:b]
+            cluster_src_mask = jnp.where(epoch < gt_mask_epochs, masks, pred_fg)
+            clusters_source = jax.lax.stop_gradient(
+                label_clusters(cluster_src_mask, num_slots=num_slots))
+            warped = grid_sample(jnp.moveaxis(clusters_source, 1, -1), grid)
+            clusters_image = (jnp.moveaxis(warped, -1, 1) > 0.1).astype(jnp.float32)
+            clusters = jnp.concatenate([clusters_source, clusters_image], axis=0)
+
+            s_logits, index = student.apply(
+                svars, region_f, clusters, True, method="pool_project",
+                rngs={"dropout": drop3})
+            valid = char_validity_mask(index[:b], num_slots)
+
+            # ---- teacher branch (frozen params, shared clusters)
+            tvars = {"params": state.teacher_params}
+            t_region_f, _ = teacher.apply(tvars, x, False, method="encode")
+            t_logits, _ = teacher.apply(tvars, t_region_f, clusters, False,
+                                        method="pool_project")
+            t_logits = jax.lax.stop_gradient(t_logits)
+
+            # ---- losses (train.py:234-238 + Dino_loss.py:59-105)
+            warped_gt = (grid_sample(masks[..., None], grid)[..., 0] > 0.1
+                         ).astype(jnp.float32)
+            seg_gt = jnp.concatenate([masks, warped_gt], axis=0)
+            l_seg = seg_loss(seg_logits, seg_gt)
+            l_dino = dino_char_loss(s_logits, t_logits, valid, state.center,
+                                    teacher_temp, student_temp)
+            total = l_seg + l_dino
+            aux = {"batch_stats": new_vars["batch_stats"], "t_logits": t_logits,
+                   "valid": valid, "mask_loss": l_seg, "dino_loss": l_dino}
+            return total, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.student_params)
+
+        grads = clip_gradients_per_param(grads, clip_grad)
+        grads = cancel_last_layer_grads(grads, epoch < freeze_last_layer)
+
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        opt_state.hyperparams["weight_decay"] = wd
+        updates, new_opt_state = tx.update(grads, opt_state, state.student_params)
+        new_student_params = optax.apply_updates(state.student_params, updates)
+
+        # EMA teacher over backbone + head only (train.py:268-272)
+        new_teacher_params = {
+            "backbone": ema_update(state.teacher_params["backbone"],
+                                   new_student_params["backbone"], m),
+            "head": ema_update(state.teacher_params["head"],
+                               new_student_params["head"], m),
+        }
+        new_center = dino_center_update(state.center, aux["t_logits"],
+                                        aux["valid"], center_momentum)
+
+        new_state = PretrainState(
+            student_params=new_student_params, student_stats=aux["batch_stats"],
+            teacher_params=new_teacher_params, opt_state=new_opt_state,
+            center=new_center, iteration=it + 1, rng=rng)
+        metrics = {"loss": loss, "mask_loss": aux["mask_loss"],
+                   "dino_loss": aux["dino_loss"], "lr": lr, "wd": wd,
+                   "epoch": epoch}
+        return new_state, metrics
+
+    return step

@@ -1,0 +1,148 @@
+"""Data pipeline tests: synthetic LMDB -> datasets -> loader -> device augs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ccd_tpu.data.augment import (
+    denormalize, normalize, photometric_augment, pretrain_views,
+    random_affine_with_theta,
+)
+from ccd_tpu.data.dataset import (
+    ConcatDataset, PretrainDataset, SupervisedDataset, build_dataset,
+    mask_env_path,
+)
+from ccd_tpu.data.pipeline import DataLoader, collate_filter_none, infinite_batches
+from ccd_tpu.data.synthetic import make_synthetic_batch, write_synthetic_lmdb
+from ccd_tpu.ops.warp import affine_grid, grid_sample
+
+
+@pytest.fixture(scope="module")
+def synth_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("lmdb")
+    data_path = str(root / "training" / "synth")
+    mask_root = str(root / "Mask")
+    words = write_synthetic_lmdb(data_path, 64, seed=0, with_mask_lmdb=True,
+                                 mask_path=mask_env_path(data_path, mask_root))
+    return data_path, mask_root, words
+
+
+def test_pretrain_dataset(synth_env):
+    data_path, mask_root, _ = synth_env
+    ds = PretrainDataset(path=data_path, is_training=True, mask=True,
+                         mask_path=mask_root)
+    assert len(ds) == 64
+    img, mask = ds[0]
+    assert img.shape == (32, 128, 3) and img.dtype == np.uint8
+    assert mask.shape == (32, 128) and set(np.unique(mask)) <= {0.0, 1.0}
+    assert mask.sum() > 20  # glyphs present
+
+
+def test_supervised_dataset_and_loader(synth_env):
+    data_path, _, words = synth_env
+    ds = SupervisedDataset(path=data_path, is_training=False, max_seq_len=25)
+    img, target, text = ds[3]
+    assert text == words[3]
+    assert target.shape == (25,)
+    assert target[0] == ds.convertor.start_idx
+
+    loader = DataLoader(ds, batch_size=16, shuffle=False, drop_last=True,
+                        num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 4
+    images, targets, texts = batches[0]
+    assert images.shape == (16, 32, 128, 3)
+    assert targets.shape == (16, 25)
+    assert list(texts) == words[:16]
+
+
+def test_loader_sharding(synth_env):
+    data_path, _, _ = synth_env
+    ds = SupervisedDataset(path=data_path, is_training=False)
+    l0 = DataLoader(ds, batch_size=8, shuffle=True, num_workers=1,
+                    process_index=0, process_count=2, seed=7)
+    l1 = DataLoader(ds, batch_size=8, shuffle=True, num_workers=1,
+                    process_index=1, process_count=2, seed=7)
+    i0 = l0.sampler.epoch_indices(0)
+    i1 = l1.sampler.epoch_indices(0)
+    assert set(i0).isdisjoint(set(i1))
+    assert len(i0) == len(i1) == 32
+
+
+def test_concat_and_scan(tmp_path):
+    p1 = str(tmp_path / "root" / "a")
+    p2 = str(tmp_path / "root" / "b" / "c")
+    write_synthetic_lmdb(p1, 10, seed=1)
+    write_synthetic_lmdb(p2, 12, seed=2)
+    ds = build_dataset(SupervisedDataset, [str(tmp_path / "root")],
+                       is_training=False)
+    assert isinstance(ds, ConcatDataset)
+    assert len(ds) == 22
+    assert ds[0] is not None and ds[21] is not None
+    assert ds.convertor is not None  # attr delegation to first child
+
+
+def test_collate_filters_none():
+    a = (np.zeros((2, 2)), np.ones(3))
+    out = collate_filter_none([a, None, a])
+    assert out[0].shape == (2, 2, 2)
+    assert collate_filter_none([None, None]) is None
+
+
+def test_infinite_batches(synth_env):
+    data_path, _, _ = synth_env
+    ds = SupervisedDataset(path=data_path, is_training=False)
+    loader = DataLoader(ds, batch_size=32, shuffle=False, num_workers=1)
+    it = infinite_batches(loader)
+    n = len(loader)
+    for _ in range(2 * n + 1):  # crosses two epoch boundaries
+        batch = next(it)
+        assert batch[0].shape[0] == 32
+
+
+# ------------------------------------------------------------------ augs
+
+def test_photometric_augment_bounds():
+    images, _, _ = make_synthetic_batch(8)
+    x = jnp.asarray(images, jnp.float32) / 255.0
+    out = photometric_augment(jax.random.PRNGKey(0), x, severity=5)
+    out = np.asarray(out)
+    assert out.shape == x.shape
+    assert out.min() >= -1e-5 and out.max() <= 1 + 1e-5
+    # different seeds differ; deterministic per seed
+    out2 = np.asarray(photometric_augment(jax.random.PRNGKey(1), x, 5))
+    assert np.abs(out - out2).max() > 1e-3
+    out3 = np.asarray(photometric_augment(jax.random.PRNGKey(0), x, 5))
+    np.testing.assert_array_equal(out, out3)
+
+
+def test_affine_theta_self_consistent():
+    """θ must be exactly the matrix that maps the warped view back: warping
+    the SOURCE with affine_grid(θ) must reproduce the returned image."""
+    images, _, _ = make_synthetic_batch(4, seed=3)
+    x = jnp.asarray(images, jnp.float32) / 255.0
+    warped, theta = random_affine_with_theta(jax.random.PRNGKey(5), x)
+    grid = affine_grid(theta[:, :2, :], (32, 128))
+    rewarped = grid_sample(x, grid)
+    np.testing.assert_allclose(np.asarray(warped), np.asarray(rewarped), atol=1e-5)
+    assert theta.shape == (4, 3, 3)
+    np.testing.assert_allclose(np.asarray(theta[:, 2]), [[0, 0, 1]] * 4, atol=1e-6)
+
+
+def test_pretrain_views():
+    images, _, _ = make_synthetic_batch(6, seed=4)
+    x = jnp.asarray(images, jnp.float32) / 255.0
+    views, theta = pretrain_views(jax.random.PRNGKey(2), x)
+    assert views.shape == (6, 3, 32, 128, 3)
+    assert theta.shape == (6, 3, 3)
+    # view0 is the normalized raw image
+    np.testing.assert_allclose(np.asarray(denormalize(views[:, 0])), np.asarray(x),
+                               atol=1e-5)
+
+
+def test_normalize_roundtrip():
+    x = jnp.asarray(np.random.default_rng(0).random((2, 4, 4, 3)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(denormalize(normalize(x))), np.asarray(x),
+                               atol=1e-6)

@@ -1,0 +1,205 @@
+"""Model tests: ViT shapes/parity invariants, NRTR decode equivalence, heads."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ccd_tpu.models import (
+    CCDPretrainModel, CCDRecognizer, DINOHead, NRTRDecoder, SegHead, vit_small,
+    vit_tiny,
+)
+from ccd_tpu.models.pretrain import char_validity_mask
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+# ------------------------------------------------------------------ ViT
+
+def test_vit_shapes(rng):
+    model = vit_tiny(patch_size=4)
+    x = jnp.zeros((2, 32, 128, 3))
+    params = model.init(rng, x)
+    tokens, taps = model.apply(params, x)
+    assert tokens.shape == (2, 256, 192)
+    assert len(taps) == 3
+    assert all(t.shape == (2, 8, 32, 192) for t in taps)
+
+
+def test_vit_pos_embed_always_interpolated(rng):
+    # for rectangular text images the reference ALWAYS resamples the 16x16
+    # view of the table to 8x32; check output differs from raw table use and
+    # matches the torch math
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    model = vit_tiny(patch_size=4)
+    x = jnp.zeros((1, 32, 128, 3))
+    params = model.init(rng, x)
+    pe = np.asarray(params["params"]["pos_embed"])  # (1, 256, 192)
+
+    ref = F.interpolate(
+        torch.from_numpy(pe.reshape(1, 16, 16, 192).transpose(0, 3, 1, 2)),
+        scale_factor=(8.1 / 16, 32.1 / 16), mode="bicubic",
+        recompute_scale_factor=False,
+    ).permute(0, 2, 3, 1).reshape(1, -1, 192).numpy()
+
+    interp = model.apply(params, 256, 32, 128, method=lambda m, n, h, w: m._interpolate_pos_encoding(n, h, w))
+    np.testing.assert_allclose(np.asarray(interp), ref, atol=2e-4, rtol=1e-4)
+
+
+def test_vit_droppath_deterministic_eval(rng):
+    model = vit_tiny(patch_size=4, drop_path_rate=0.5, drop_rate=0.1)
+    x = jax.random.normal(rng, (2, 32, 128, 3))
+    params = model.init(rng, x)
+    a, _ = model.apply(params, x, deterministic=True)
+    b, _ = model.apply(params, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # train mode with dropout rng differs
+    c, _ = model.apply(params, x, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4
+
+
+# ------------------------------------------------------------------ heads
+
+def test_dino_head_shapes_and_norm(rng):
+    head = DINOHead(out_dim=1024, norm_last_layer=True)
+    x = jax.random.normal(rng, (4, 26, 384))
+    params = head.init(rng, x)
+    out = head.apply(params, x)
+    assert out.shape == (4, 26, 1024)
+    # weight-norm: columns of effective weight have norm g=1 -> logits bounded
+    # |logit| <= ||x_norm|| * ||w_col|| = 1
+    assert np.abs(np.asarray(out)).max() <= 1.0 + 1e-5
+
+
+def test_seg_head_shapes(rng):
+    head = SegHead()
+    taps = [jax.random.normal(jax.random.fold_in(rng, i), (2, 8, 32, 384))
+            for i in range(3)]
+    variables = head.init(rng, taps)
+    out = head.apply(variables, taps)
+    assert out.shape == (2, 32, 128, 2)
+    # train mode mutates batch stats
+    out2, mutated = head.apply(variables, taps, train=True, mutable=["batch_stats"])
+    assert out2.shape == (2, 32, 128, 2)
+    assert "batch_stats" in mutated
+
+
+def test_conv_transpose_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    from ccd_tpu.models.heads import TorchConvTranspose
+
+    mod = TorchConvTranspose(8)
+    x = np.random.default_rng(0).normal(size=(2, 8, 32, 4)).astype(np.float32)
+    variables = mod.init(rng, jnp.asarray(x))
+    out = mod.apply(variables, jnp.asarray(x))
+    assert out.shape == (2, 16, 64, 8)
+
+    # torch equivalence: torch weight (in, out, kh, kw); ours (kh, kw, in, out)
+    k = np.asarray(variables["params"]["kernel"])
+    b = np.asarray(variables["params"]["bias"])
+    tconv = torch.nn.ConvTranspose2d(4, 8, 4, 2, 1)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(k.transpose(2, 3, 0, 1)))
+        tconv.bias.copy_(torch.from_numpy(b))
+    ref = tconv(torch.from_numpy(x.transpose(0, 3, 1, 2))).detach().numpy()
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref, atol=1e-5)
+
+
+# ------------------------------------------------------------------ NRTR
+
+def _full_recompute_greedy(decoder, params, out_enc):
+    """Reference-style greedy loop: re-run the full teacher-forced decoder at
+    every step on the [BOS, generated..., PAD...] sequence
+    (nrtr_decoder.py:151-175)."""
+    b = out_enc.shape[0]
+    l = decoder.max_seq_len + 1
+    seq = np.full((b, l), decoder.padding_idx, np.int32)
+    seq[:, 0] = decoder.start_idx
+    outputs = []
+    for step in range(decoder.max_seq_len):
+        logits, _ = decoder.apply(params, out_enc, jnp.asarray(seq),
+                                  train_mode=True, deterministic=True)
+        step_probs = jax.nn.softmax(logits[:, step].astype(jnp.float32), axis=-1)
+        outputs.append(np.asarray(step_probs))
+        seq[:, step + 1] = np.asarray(jnp.argmax(step_probs, axis=-1))
+    return np.stack(outputs, axis=1)
+
+
+def test_greedy_decode_matches_full_recompute(rng):
+    decoder = NRTRDecoder(n_layers=2, d_embedding=64, n_head=4, d_k=16, d_v=16,
+                          d_model=64, d_inner=32, num_classes=93, max_seq_len=8,
+                          start_idx=91, padding_idx=92)
+    out_enc = jax.random.normal(rng, (3, 10, 64))
+    targets = jnp.full((3, 8), 92, jnp.int32).at[:, 0].set(91)
+    params = decoder.init(rng, out_enc, targets, train_mode=True)
+
+    fast = np.asarray(decoder.apply(params, out_enc, train_mode=False))
+    slow = _full_recompute_greedy(decoder, params, out_enc)
+    assert fast.shape == slow.shape == (3, 8, 92)
+    np.testing.assert_allclose(fast, slow, atol=1e-5)
+    # greedy tokens identical
+    np.testing.assert_array_equal(fast.argmax(-1), slow.argmax(-1))
+
+
+def test_nrtr_train_shapes_and_causality(rng):
+    decoder = NRTRDecoder(n_layers=2, d_embedding=64, n_head=4, d_k=16, d_v=16,
+                          d_model=64, d_inner=32, num_classes=93, max_seq_len=6,
+                          start_idx=91, padding_idx=92)
+    out_enc = jax.random.normal(rng, (2, 10, 64))
+    targets = jnp.array([[91, 5, 6, 91, 92, 92], [91, 1, 91, 92, 92, 92]], jnp.int32)
+    params = decoder.init(rng, out_enc, targets, train_mode=True)
+    logits, attn = decoder.apply(params, out_enc, targets, train_mode=True)
+    assert logits.shape == (2, 6, 92)
+    assert attn.shape[0] == 2 and attn.shape[2] == 6  # (B, H, T, S)
+
+    # causality: changing a future target must not change earlier logits
+    targets2 = targets.at[:, 4].set(7)
+    logits2, _ = decoder.apply(params, out_enc, targets2, train_mode=True)
+    np.testing.assert_allclose(np.asarray(logits[:, :4]), np.asarray(logits2[:, :4]),
+                               atol=1e-6)
+
+
+# ------------------------------------------------------------------ recognizer
+
+def test_recognizer_train_and_test(rng):
+    model = CCDRecognizer(arch="vit_tiny", max_seq_len=6)
+    img = jax.random.normal(rng, (2, 32, 128, 3))
+    targets = jnp.full((2, 6), 92, jnp.int32).at[:, 0].set(91)
+    params = model.init(rng, img, targets, train_mode=True)
+    logits, attn = model.apply(params, img, targets, train_mode=True)
+    assert logits.shape == (2, 6, 92)
+    probs = model.apply(params, img, train_mode=False)
+    assert probs.shape == (2, 6, 92)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+
+# ------------------------------------------------------------------ pretrain model
+
+def test_pretrain_model_full_path(rng):
+    model = CCDPretrainModel(arch="vit_tiny", out_dim=512, with_seg_head=True)
+    images = jax.random.normal(rng, (2, 32, 128, 3))
+    clusters = jnp.zeros((2, 26, 32, 128)).at[:, 0, 4:10, 8:30].set(1.0)
+    variables = model.init(rng, images, clusters)
+    out = model.apply(variables, images, clusters)
+    assert out["instances_view"].shape == (2, 26, 512)
+    assert out["mask"].shape == (2, 32, 128, 2)
+    assert np.asarray(out["index"])[:, 0].all()
+    assert not np.asarray(out["index"])[:, 1].any()
+
+
+def test_char_validity_mask_reference_semantics():
+    index = np.zeros((2, 26), bool)
+    index[0, :5] = True   # 5 chars -> length 5 -> slots 0..5 kept (<=)
+    index[1, :1] = True   # 1 char -> clamped to 3 -> slots 0..3 kept
+    mask = np.asarray(char_validity_mask(jnp.asarray(index)))
+    assert mask[0].sum() == 6
+    assert mask[1].sum() == 4
+    full = np.ones((1, 26), bool)
+    assert np.asarray(char_validity_mask(jnp.asarray(full))).sum() == 26

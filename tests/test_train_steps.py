@@ -1,0 +1,144 @@
+"""End-to-end train-step tests on the virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ccd_tpu.losses import teacher_temp_schedule
+from ccd_tpu.models import CCDPretrainModel, CCDRecognizer
+from ccd_tpu.parallel import batch_sharding, data_mesh, replicated_sharding, shard_batch
+from ccd_tpu.training import (
+    init_finetune_state, init_pretrain_state, make_finetune_step,
+    make_pretrain_step,
+)
+
+
+def _pretrain_batch(rng, b=8, h=32, w=128):
+    images = rng.normal(size=(b, 3, h, w, 3)).astype(np.float32)
+    masks = np.zeros((b, h, w), np.float32)
+    for i in range(b):
+        for x0 in (10, 50, 90):
+            masks[i, 8:24, x0:x0 + 16] = 1.0
+    theta = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
+    theta[:, 0, 2] = 0.05  # slight translation
+    return images, masks, theta
+
+
+@pytest.fixture(scope="module")
+def pretrain_setup():
+    student = CCDPretrainModel(arch="vit_micro", out_dim=256, with_seg_head=True,
+                               norm_last_layer=False, drop_path_rate=0.1)
+    teacher = CCDPretrainModel(arch="vit_micro", out_dim=256, with_seg_head=False)
+    state, tx = init_pretrain_state(jax.random.PRNGKey(0), student, teacher)
+    step = make_pretrain_step(
+        student, teacher, tx,
+        base_lr=5e-4, min_lr=1e-6, total_iters=100, warmup_iters=10,
+        weight_decay=0.04, weight_decay_end=0.4, momentum_teacher=0.9995,
+        teacher_temps=teacher_temp_schedule(0.04, 0.04, 0, 10),
+        clip_grad=3.0, freeze_last_layer=1, global_batch=8,
+        imgnet_based=1000, gt_mask_epochs=30)
+    return state, step
+
+
+def test_pretrain_step_runs_and_learns(pretrain_setup):
+    state0, step = pretrain_setup
+    state = jax.tree.map(jnp.copy, state0)  # fixture is shared; don't donate it
+    jstep = jax.jit(step, donate_argnums=(0,))
+    images, masks, theta = _pretrain_batch(np.random.default_rng(0))
+    losses = []
+    for _ in range(5):
+        state, metrics = jstep(state, jnp.asarray(images), jnp.asarray(masks),
+                               jnp.asarray(theta))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert int(state.iteration) == 5
+    # same batch repeatedly -> loss must decrease
+    assert losses[-1] < losses[0], losses
+    # teacher must have moved (EMA) but stayed close
+    t0 = np.asarray(jax.tree.leaves(state.teacher_params)[0])
+    s0 = np.asarray(jax.tree.leaves(state.student_params["backbone"])[0])
+    assert np.isfinite(t0).all()
+    # center updated away from zero
+    assert np.abs(np.asarray(state.center)).max() > 0
+
+
+def test_pretrain_step_on_8device_mesh(pretrain_setup):
+    state, step = pretrain_setup
+    mesh = data_mesh(8)
+    assert mesh.devices.size == 8
+    rep = replicated_sharding(mesh)
+    state = jax.device_put(state, rep)
+    jstep = jax.jit(step)
+    images, masks, theta = _pretrain_batch(np.random.default_rng(1), b=16)
+    batch = shard_batch((jnp.asarray(images), jnp.asarray(masks), jnp.asarray(theta)), mesh)
+    state2, metrics = jstep(state, *batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # global-batch semantics: sharded result == single-device result
+    state3, metrics3 = jax.jit(step)(jax.device_put(state, jax.devices("cpu")[0]),
+                                     jnp.asarray(images), jnp.asarray(masks),
+                                     jnp.asarray(theta))
+    assert abs(float(metrics["loss"]) - float(metrics3["loss"])) < 1e-4
+
+
+def test_pretrain_freeze_last_layer():
+    # epoch 0 (< freeze_last_layer) -> last_layer params must not move
+    student = CCDPretrainModel(arch="vit_micro", out_dim=128, with_seg_head=True,
+                               norm_last_layer=False)
+    teacher = CCDPretrainModel(arch="vit_micro", out_dim=128, with_seg_head=False)
+    state, tx = init_pretrain_state(jax.random.PRNGKey(1), student, teacher)
+    step = make_pretrain_step(
+        student, teacher, tx, base_lr=1e-3, min_lr=1e-6, total_iters=50,
+        warmup_iters=0, weight_decay=0.0, weight_decay_end=0.0,
+        momentum_teacher=0.999, teacher_temps=teacher_temp_schedule(0.04, 0.04, 0, 5),
+        clip_grad=3.0, freeze_last_layer=1, global_batch=4, imgnet_based=10_000)
+    v_before = np.asarray(state.student_params["head"]["last_layer_v"])
+    images, masks, theta = _pretrain_batch(np.random.default_rng(2), b=4)
+    state, _ = jax.jit(step)(state, jnp.asarray(images), jnp.asarray(masks),
+                             jnp.asarray(theta))
+    v_after = np.asarray(state.student_params["head"]["last_layer_v"])
+    np.testing.assert_array_equal(v_before, v_after)
+    # but other params moved
+    k0 = np.asarray(jax.tree.leaves(state.student_params["backbone"])[0])
+    assert np.isfinite(k0).all()
+
+
+def test_finetune_step_runs_and_learns():
+    model = CCDRecognizer(arch="vit_micro", max_seq_len=8)
+    state, tx = init_finetune_state(jax.random.PRNGKey(0), model)
+    step = jax.jit(make_finetune_step(
+        model, tx, base_lr=1e-3, min_lr=1e-6, total_iters=100, warmup_iters=5,
+        weight_decay=0.05, clip_grad=None))
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(8, 32, 128, 3)).astype(np.float32)
+    targets = np.full((8, 8), 92, np.int32)
+    targets[:, 0] = 91
+    targets[:, 1:4] = rng.integers(0, 89, size=(8, 3))
+    targets[:, 4] = 91
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, jnp.asarray(images), jnp.asarray(targets))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_finetune_step_sharded_matches_single():
+    model = CCDRecognizer(arch="vit_micro", max_seq_len=6)
+    state, tx = init_finetune_state(jax.random.PRNGKey(3), model)
+    step = make_finetune_step(model, tx, base_lr=1e-3, min_lr=1e-6,
+                              total_iters=10, warmup_iters=0, weight_decay=0.0)
+    rng = np.random.default_rng(1)
+    images = rng.normal(size=(16, 32, 128, 3)).astype(np.float32)
+    targets = np.full((16, 6), 92, np.int32)
+    targets[:, 0] = 91
+    targets[:, 1] = rng.integers(0, 89, size=16)
+    targets[:, 2] = 91
+
+    mesh = data_mesh(8)
+    sharded_state = jax.device_put(state, replicated_sharding(mesh))
+    batch = shard_batch((jnp.asarray(images), jnp.asarray(targets)), mesh)
+    _, m_sharded = jax.jit(step)(sharded_state, *batch)
+    _, m_single = jax.jit(step)(state, jnp.asarray(images), jnp.asarray(targets))
+    assert abs(float(m_sharded["loss"]) - float(m_single["loss"])) < 1e-5

@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""CCD self-supervised pretraining CLI (parity target: reference train.py).
+
+DINO-style student/teacher distillation over per-character features. The
+whole iteration — 3-view device augmentation with θ bookkeeping, student
+ViT+SegHead, device-side glyph clustering, char pooling + DINO heads, both
+losses, AdamW, EMA teacher, center EMA — runs as two jitted functions on a
+1-D data mesh (multi-host via jax.distributed + the same collectives).
+
+Usage:
+  python train.py --config ccd_tpu/configs/ccd_pretrain_vit_small.yaml \
+      [--batch_size_per_gpu N] [--max_iters N] [--synthetic N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import tempfile
+import time
+
+
+def _parse_arguments():
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", type=str, required=True)
+    p.add_argument("--arch", type=str, default=None)
+    p.add_argument("--batch_size_per_gpu", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--max_iters", type=int, default=None,
+                   help="hard cap on iterations (smoke runs)")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="pretrain on N freshly generated synthetic samples")
+    return p.parse_args()
+
+
+def main():
+    args = _parse_arguments()
+    from ccd_tpu.config import Config
+    from ccd_tpu.utils import Logger, MetricLogger
+
+    config = Config(args.config)
+    config.override(arch=args.arch, batch_size_per_gpu=args.batch_size_per_gpu,
+                    training_epochs=args.epochs, lr=args.lr, seed=args.seed)
+
+    Logger.init(config.global_workdir, config.global_name, config.global_phase)
+    Logger.enable_file()
+    logging.info(config)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    # multi-host initialization when launched under a JAX coordinator
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+    from ccd_tpu.builders import build_pretrain_models
+    from ccd_tpu.checkpoints.orbax_io import CheckpointManager
+    from ccd_tpu.data.augment import pretrain_views
+    from ccd_tpu.data.dataset import PretrainDataset, build_dataset
+    from ccd_tpu.data.pipeline import DataLoader, infinite_batches
+    from ccd_tpu.losses import teacher_temp_schedule
+    from ccd_tpu.parallel import data_mesh, replicated_sharding, shard_batch
+    from ccd_tpu.training import init_pretrain_state, make_pretrain_step
+
+    # ------------------------------------------------------------ data
+    if args.synthetic:
+        from ccd_tpu.data.dataset import mask_env_path
+        from ccd_tpu.data.synthetic import write_synthetic_lmdb
+        tmp = tempfile.mkdtemp(prefix="ccd_synth_pre_")
+        root = os.path.join(tmp, "training", "SYNTH")
+        mask_root = os.path.join(tmp, "Mask")
+        write_synthetic_lmdb(root, args.synthetic, seed=3, with_mask_lmdb=True,
+                             mask_path=mask_env_path(root, mask_root))
+        config.dataset_train_roots = [root]
+        config.dataset_mask_path = mask_root
+        config.dataset_mask = True
+
+    batch_size = int(config.batch_size_per_gpu or 64)
+    h, w = int(config.dataset_image_height), int(config.dataset_image_width)
+    train_ds = build_dataset(
+        PretrainDataset, config.dataset_train_roots, is_training=True,
+        img_h=h, img_w=w, mask=bool(config.dataset_mask),
+        mask_path=config.dataset_mask_path or "",
+        data_portion=float(config.dataset_portion or 1.0))
+    loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True,
+                        drop_last=True,
+                        num_workers=int(config.dataset_num_workers or 8),
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
+    config.iter_num = len(loader)
+    logging.info(f"each epoch iteration: {config.iter_num}")
+
+    # ------------------------------------------------------------ models
+    student, teacher = build_pretrain_models(config)
+    rng = jax.random.PRNGKey(int(config.seed or 0))
+    state, tx = init_pretrain_state(rng, student, teacher, image_hw=(h, w))
+
+    global_batch = batch_size * jax.process_count()
+    total_iters = max(int(config.training_epochs) * config.iter_num, 1)
+    # virtual-epoch count (train.py:118-119)
+    nepochs = int(config.training_epochs * config.iter_num * global_batch
+                  / config.imgnet_based) + 1
+    logging.info(f"training epochs is {nepochs}")
+
+    step_fn = make_pretrain_step(
+        student, teacher, tx,
+        base_lr=float(config.lr) * global_batch / 256.0,
+        min_lr=float(config.min_lr),
+        total_iters=total_iters,
+        warmup_iters=int(config.warmup_epoch * config.imgnet_based / global_batch),
+        weight_decay=float(config.weight_decay),
+        weight_decay_end=float(config.weight_decay_end),
+        momentum_teacher=float(config.momentum_teacher),
+        teacher_temps=teacher_temp_schedule(
+            float(config.warmup_teacher_temp), float(config.teacher_temp),
+            int(config.warmup_teacher_temp_epochs), nepochs),
+        clip_grad=config.clip_grad,
+        freeze_last_layer=int(config.freeze_last_layer),
+        global_batch=global_batch,
+        imgnet_based=int(config.imgnet_based))
+
+    mesh = data_mesh(config.mesh_num_devices)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    jstep = jax.jit(step_fn, donate_argnums=(0,))
+    jviews = jax.jit(pretrain_views, static_argnames=("severity",))
+
+    ckpt_dir = os.path.join(config.output_dir, config.global_name)
+    manager = CheckpointManager(ckpt_dir, max_to_keep=3,
+                                keep_period=int(config.saveckp_freq or 10))
+    latest = manager.latest_step()
+    if latest is not None:
+        logging.info(f"resuming from checkpoint step {latest}")
+        state = manager.restore(latest, state)
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        os.makedirs("./tensorboard", exist_ok=True)
+        writer = SummaryWriter(log_dir=f"./tensorboard/{config.global_name}")
+    except Exception:
+        writer = None
+
+    severity = int(config.dataset_augmentation_severity or 5)
+    aug_rng = jax.random.PRNGKey(int(config.seed or 0) + jax.process_index())
+    metric_logger = MetricLogger(delimiter="  ")
+    batches = infinite_batches(loader)
+    iteration = int(jax.device_get(state.iteration))
+    global_epoch = 0
+    start = time.time()
+    n_steps = min(total_iters, args.max_iters or total_iters)
+    log_path = os.path.join(config.global_workdir, "log.txt")
+    os.makedirs(config.global_workdir, exist_ok=True)
+
+    while iteration < n_steps:
+        images_u8, masks = next(batches)
+        aug_rng, key = jax.random.split(aug_rng)
+        raw = jnp.asarray(images_u8, jnp.float32) / 255.0
+        raw, masks_d = shard_batch((raw, jnp.asarray(masks)), mesh)
+        views, theta = jviews(key, raw, severity=severity)
+        state, metrics = jstep(state, views, masks_d, theta)
+
+        epoch = int(jax.device_get(metrics["epoch"]))
+        if epoch != global_epoch:
+            global_epoch = epoch
+            metric_logger.synchronize_between_processes()
+            logging.info(f"Averaged stats: {metric_logger}")
+            manager.save(iteration, jax.device_get(
+                {"student_params": state.student_params,
+                 "student_stats": state.student_stats,
+                 "teacher_params": state.teacher_params,
+                 "center": state.center, "iteration": state.iteration}))
+            if jax.process_index() == 0:
+                stats = {f"train_{k}": m.global_avg
+                         for k, m in metric_logger.meters.items()}
+                stats["epoch"] = epoch
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(stats) + "\n")
+            metric_logger = MetricLogger(delimiter="  ")
+
+        metric_logger.update(loss=float(metrics["loss"]),
+                             lr=float(metrics["lr"]), wd=float(metrics["wd"]))
+        if iteration % int(config.training_show_iters or 200) == 0:
+            ips = batch_size * (iteration + 1) / (time.time() - start)
+            logging.info(f"it {iteration} epoch {epoch} "
+                         f"loss {float(metrics['loss']):.4f} "
+                         f"(mask {float(metrics['mask_loss']):.4f} "
+                         f"dino {float(metrics['dino_loss']):.4f}) "
+                         f"lr {float(metrics['lr']):.2e} {ips:.1f} img/s")
+            if writer:
+                for k in ("loss", "mask_loss", "dino_loss", "lr", "wd"):
+                    writer.add_scalar(f"metric/{k}", float(metrics[k]), iteration)
+        iteration += 1
+
+    manager.save(iteration, jax.device_get(
+        {"student_params": state.student_params,
+         "student_stats": state.student_stats,
+         "teacher_params": state.teacher_params,
+         "center": state.center, "iteration": state.iteration}))
+    manager.wait()
+    total = time.time() - start
+    logging.info(f"Training time {total:.0f}s "
+                 f"({batch_size * n_steps / total:.1f} img/s/proc)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Supervised finetune CLI (parity target: reference train_finetune.py).
+
+Teacher-forced recognition training with periodic benchmark evaluation and
+best-checkpoint keeping. TPU-native: one jitted train step over a 1-D data
+mesh; batches are host-loaded (decode+resize only) and device-augmented.
+
+Usage:
+  python train_finetune.py --config ccd_tpu/configs/ccd_finetune_ard.yaml \
+      [--batch_size N] [--checkpoint path] [--run_only_test] [--test_root p] \
+      [--epochs N] [--eval_iters N] [--synthetic N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import tempfile
+import time
+
+
+def _parse_arguments():
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--run_only_test", action="store_true", default=None)
+    p.add_argument("--test_root", type=str, default=None)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--model_eval", type=str, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--eval_iters", type=int, default=None)
+    p.add_argument("--max_iters", type=int, default=None,
+                   help="hard cap on iterations (smoke runs)")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N freshly generated synthetic samples")
+    return p.parse_args()
+
+
+def main():
+    args = _parse_arguments()
+    from ccd_tpu.config import Config
+    from ccd_tpu.utils import Averager, Logger
+
+    config = Config(args.config)
+    config.override(dataset_train_batch_size=args.batch_size,
+                    model_checkpoint=args.checkpoint,
+                    training_epochs=args.epochs,
+                    training_eval_iters=args.eval_iters)
+    if args.test_root:
+        config.dataset_test_roots = [args.test_root]
+
+    Logger.init(config.global_workdir, config.global_name, config.global_phase)
+    Logger.enable_file()
+    logging.info(config)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ccd_tpu.builders import (build_recognizer, load_pretrained_backbone,
+                                  load_recognizer_params)
+    from ccd_tpu.checkpoints.orbax_io import CheckpointManager
+    from ccd_tpu.data.dataset import SupervisedDataset, build_dataset
+    from ccd_tpu.data.pipeline import DataLoader, infinite_batches
+    from ccd_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+    from ccd_tpu.evaluation.runner import evaluate_benchmarks
+    from ccd_tpu.parallel import data_mesh, replicated_sharding, shard_batch
+    from ccd_tpu.training import init_finetune_state, make_finetune_step
+
+    # ------------------------------------------------------------ data
+    if args.synthetic:
+        from ccd_tpu.data.synthetic import write_synthetic_lmdb
+        tmp = tempfile.mkdtemp(prefix="ccd_synth_ft_")
+        train_root = os.path.join(tmp, "training", "SYNTH")
+        test_root = os.path.join(tmp, "evaluation", "SYNTH")
+        write_synthetic_lmdb(train_root, args.synthetic, seed=1)
+        write_synthetic_lmdb(test_root, max(args.synthetic // 4, 8), seed=2)
+        config.dataset_train_roots = [train_root]
+        config.dataset_test_roots = [test_root]
+
+    batch_size = int(config.dataset_train_batch_size or 288)
+    max_seq_len = int(config.decoder_max_seq_len)
+    train_ds = build_dataset(
+        SupervisedDataset, config.dataset_train_roots, is_training=True,
+        max_seq_len=max_seq_len,
+        charset_type=config.dataset_charset_type or "DICT90",
+        data_portion=float(config.dataset_portion or 1.0))
+    train_loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True,
+                              drop_last=True,
+                              num_workers=int(config.dataset_num_workers or 4),
+                              process_index=jax.process_index(),
+                              process_count=jax.process_count())
+    config.iter_num = len(train_loader)
+    logging.info(f"each epoch iteration: {config.iter_num}")
+
+    # ------------------------------------------------------------ model
+    model, convertor = build_recognizer(config)
+    rng = jax.random.PRNGKey(int(config.seed or 0))
+    from ccd_tpu.training import FinetuneState
+    state, tx = init_finetune_state(
+        rng, model, image_hw=(config.dataset_image_height,
+                              config.dataset_image_width))
+    if config.model_pretrain_checkpoint:
+        logging.info(f"Read pretrain vision model from "
+                     f"{config.model_pretrain_checkpoint}.")
+        state = state.replace(params=load_pretrained_backbone(
+            config.model_pretrain_checkpoint, state.params))
+    if config.model_checkpoint:
+        logging.info(f"Read vision model from {config.model_checkpoint}.")
+        state = state.replace(params=load_recognizer_params(
+            config.model_checkpoint, model, state.params))
+
+    # ------------------------------------------------------------ eval-only
+    def run_eval():
+        results, weighted = evaluate_benchmarks(
+            model, state.params, list(config.dataset_test_roots or []),
+            batch_size=int(config.dataset_test_batch_size or batch_size),
+            max_seq_len=max_seq_len,
+            charset_type=config.dataset_charset_type or "DICT90",
+            case_sensitive=bool(config.dataset_eval_case_sensitive))
+        for res in results:
+            logging.info(f"dataset: {os.path.basename(str(res['name']))} --> "
+                         f"word_num: {int(res['words'])} --> "
+                         f"accuracy: {res['cwr']:0.3f}")
+        logging.info(f"total_accuracy: {weighted:0.3f}")
+        return weighted
+
+    if args.run_only_test:
+        run_eval()
+        return
+
+    # ------------------------------------------------------------ train
+    total_iters = int(config.training_epochs * config.iter_num)
+    step_fn = make_finetune_step(
+        model, tx, base_lr=float(config.lr), min_lr=float(config.min_lr),
+        total_iters=max(total_iters, 1),
+        warmup_iters=int((config.warmup_epochs or 0) * config.iter_num),
+        weight_decay=float(config.weight_decay), clip_grad=config.clip_grad)
+
+    mesh = data_mesh(config.mesh_num_devices)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    jstep = jax.jit(step_fn, donate_argnums=(0,))
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        os.makedirs("./tensorboard", exist_ok=True)
+        writer = SummaryWriter(log_dir=f"./tensorboard/{config.global_name}")
+    except Exception:
+        writer = None
+
+    ckpt_dir = os.path.join(config.output_dir, config.global_name)
+    manager = CheckpointManager(ckpt_dir, max_to_keep=3)
+
+    mean = np.asarray(IMAGENET_MEAN)
+    std = np.asarray(IMAGENET_STD)
+    loss_avg = Averager()
+    best_accuracy = 0.0
+    batches = infinite_batches(train_loader)
+    start = time.time()
+    n_steps = min(total_iters, args.max_iters or total_iters)
+    for iteration in range(n_steps):
+        images, targets, _texts = next(batches)
+        images = ((images.astype(np.float32) / 255.0) - mean) / std
+        batch = shard_batch((jnp.asarray(images), jnp.asarray(targets)), mesh)
+        state, metrics = jstep(state, *batch)
+        loss_avg.add(float(metrics["loss"]))
+
+        if iteration % int(config.training_show_iters or 50) == 0:
+            lr = float(metrics["lr"])
+            logging.info(f"iteration:{iteration}--> train loss:{loss_avg.val():.4f} "
+                         f"lr:{lr:.2e} ({(time.time()-start):.0f}s)")
+            if writer:
+                writer.add_scalar("metric/train_loss", loss_avg.val(), iteration)
+                writer.add_scalar("metric/lr", lr, iteration)
+            loss_avg.reset()
+
+        if iteration and iteration % int(config.training_eval_iters or 3000) == 0:
+            logging.info("eval model")
+            acc = run_eval()
+            if writer:
+                writer.add_scalar("metric/eval_acc", acc, iteration)
+            if acc >= best_accuracy:
+                best_accuracy = acc
+                manager.save(iteration, {"params": state.params,
+                                         "iteration": iteration})
+                manager.wait()
+
+        if iteration and iteration % int(config.training_save_iters or 20000) == 0:
+            manager.save(iteration, {"params": state.params,
+                                     "iteration": iteration})
+
+    # final eval + save
+    acc = run_eval()
+    manager.save(n_steps, {"params": state.params, "iteration": n_steps})
+    manager.wait()
+    logging.info(f"done: final accuracy {acc:0.3f}, best {max(best_accuracy, acc):0.3f}")
+
+
+if __name__ == "__main__":
+    main()
