@@ -206,6 +206,201 @@ def random_affine_with_theta(rng: jnp.ndarray, images: jnp.ndarray,
     return warped, theta
 
 
+def _random_affine_matrix(rng, b, h, w, scale=(0.6, 1.1), translate=0.02,
+                          rotate=10.0, shear_x=45.0, shear_y=10.0):
+    """Sample (B, 3, 3) normalized inverse affine matrices (no image warp)."""
+    k = jax.random.split(rng, 7)
+    sx = jax.random.uniform(k[0], (b,), minval=scale[0], maxval=scale[1])
+    sy = jax.random.uniform(k[1], (b,), minval=scale[0], maxval=scale[1])
+    tx = jax.random.uniform(k[2], (b,), minval=-translate, maxval=translate) * w
+    ty = jax.random.uniform(k[3], (b,), minval=-translate, maxval=translate) * h
+    rot = jnp.deg2rad(jax.random.uniform(k[4], (b,), minval=-rotate, maxval=rotate))
+    shx = jnp.tan(jnp.deg2rad(jax.random.uniform(k[5], (b,), minval=-shear_x,
+                                                 maxval=shear_x)))
+    shy = jnp.tan(jnp.deg2rad(jax.random.uniform(k[6], (b,), minval=-shear_y,
+                                                 maxval=shear_y)))
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    zeros = jnp.zeros_like(sx)
+    ones = jnp.ones_like(sx)
+
+    def mat(rows):
+        return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+    center = mat([[ones, zeros, ones * cx], [zeros, ones, ones * cy],
+                  [zeros, zeros, ones]])
+    center_inv = mat([[ones, zeros, -ones * cx], [zeros, ones, -ones * cy],
+                      [zeros, zeros, ones]])
+    scl = mat([[sx, zeros, zeros], [zeros, sy, zeros], [zeros, zeros, ones]])
+    shr = mat([[ones, shx, zeros], [shy, ones, zeros], [zeros, zeros, ones]])
+    rotm = mat([[jnp.cos(rot), -jnp.sin(rot), zeros],
+                [jnp.sin(rot), jnp.cos(rot), zeros], [zeros, zeros, ones]])
+    trn = mat([[ones, zeros, tx], [zeros, ones, ty], [zeros, zeros, ones]])
+    m = trn @ center @ rotm @ shr @ scl @ center_inv
+    w_, w_inv = _normalize_matrix(h, w)
+    return jnp.einsum("ij,bjk,kl->bil", jnp.asarray(w_), jnp.linalg.inv(m),
+                      jnp.asarray(w_inv))
+
+
+def _elastic_grid(rng, b, h, w, scale) -> jnp.ndarray:
+    """Identity grid + smooth random displacement (iaa.PiecewiseAffine-like)."""
+    xs = (2.0 * jnp.arange(w, dtype=jnp.float32) + 1.0) / w - 1.0
+    ys = (2.0 * jnp.arange(h, dtype=jnp.float32) + 1.0) / h - 1.0
+    gx, gy = jnp.meshgrid(xs, ys)
+    base = jnp.broadcast_to(jnp.stack([gx, gy], -1), (b, h, w, 2))
+    coarse = jax.random.uniform(rng, (b, 4, 8, 2), minval=-1.0, maxval=1.0)
+    disp = jax.image.resize(coarse, (b, h, w, 2), method="cubic") * scale
+    return base + disp
+
+
+def _random_perspective(rng, b, h, w, distortion: float = 0.3) -> jnp.ndarray:
+    """(B, 3, 3) normalized projective matrices from jittered corners
+    (CVRandomPerspective-style). Solves the 4-point homography per sample."""
+    k1, = jax.random.split(rng, 1)
+    # source corners in normalized coords
+    src = jnp.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]])
+    jitter = jax.random.uniform(k1, (b, 4, 2), minval=0.0, maxval=distortion)
+    sign = jnp.array([[[1.0, 1.0], [-1.0, 1.0], [-1.0, -1.0], [1.0, -1.0]]])
+    dst = src[None] + jitter * sign  # corners move inward
+
+    # DLT: solve 8x8 for H mapping dst -> src (output grid samples the source)
+    def solve_one(s, d):
+        rows = []
+        rhs = []
+        for i in range(4):
+            x, y = d[i, 0], d[i, 1]
+            u, v = s[i, 0], s[i, 1]
+            rows.append(jnp.array([x, y, 1, 0, 0, 0, 0, 0]) +
+                        jnp.concatenate([jnp.zeros(6), -u * d[i]]))
+            rows.append(jnp.concatenate([jnp.zeros(3),
+                                         jnp.array([x, y, 1.0]),
+                                         -v * d[i]]))
+            rhs.extend([u, v])
+        a = jnp.stack(rows)
+        h8 = jnp.linalg.solve(a, jnp.asarray(rhs))
+        return jnp.concatenate([h8, jnp.ones(1)]).reshape(3, 3)
+
+    return jax.vmap(solve_one)(jnp.broadcast_to(src, (b, 4, 2)), dst)
+
+
+@jax.jit
+def supervised_augment(rng: jnp.ndarray, images: jnp.ndarray) -> jnp.ndarray:
+    """Finetune-time augmentation chain on (B, H, W, 3) float [0,1] images.
+
+    Mirrors the staged iaa pipeline of ``dataset_pretrain.py:80-160``:
+    Sometimes(0.6) invert(0.1); Sometimes(0.8) OneOf[noise/color family];
+    Sometimes(0.6) OneOf[sharpen/blur]; Sometimes(0.6) OneOf[contrast];
+    Sometimes(0.6) OneOf[affine / piecewise-affine / rotate±45] — each family
+    reimplemented as batched device ops with per-sample selection.
+    """
+    from ccd_tpu.ops.warp import affine_grid, grid_sample
+    b, h, w, _ = images.shape
+    keys = jax.random.split(rng, 24)
+    x = images
+
+    # stage 1: Sometimes(0.6, Invert(0.1)) -> effective p = 0.06
+    x = _blend(x, 1.0 - x, _gate(keys[0], b, 0.06))
+
+    # stage 2 (p=0.8): one of the noise/color family
+    noise_g = jax.random.normal(keys[1], x.shape) * _per_sample(keys[2], b, 0.0, 0.2)
+    cand0 = jnp.clip(x + noise_g, 0, 1)                                   # gaussian noise
+    sp = jax.random.uniform(keys[3], (b, h, w, 1))
+    cand1 = jnp.where(sp < 0.05, 0.0, jnp.where(sp > 0.95, 1.0, x))       # salt&pepper
+    mul = jax.random.uniform(keys[4], (b, 1, 1, 3), minval=0.5, maxval=1.5)
+    cand2 = jnp.clip(x * mul, 0, 1)                                       # multiply/channel
+    gray = jnp.mean(x, -1, keepdims=True)
+    alpha_g = _per_sample(keys[5], b, 0.0, 1.0)
+    cand3 = x * (1 - alpha_g) + gray * alpha_g                            # grayscale
+    thresh = _per_sample(keys[6], b, 32 / 255, 128 / 255)
+    cand4 = jnp.where(x >= thresh, 1.0 - x, x)                            # solarize
+    drop = (jax.random.uniform(keys[7], (b, h // 4, w // 4, 1)) > 0.02)
+    cand5 = x * jax.image.resize(drop.astype(x.dtype), (b, h, w, 1), "nearest")  # coarse dropout
+    field = _low_freq_field(keys[8], b, h, w, 0.3)
+    cand6 = jnp.clip(x + field, 0, 1)                                     # fog/clouds
+    shift = jax.random.uniform(keys[9], (b, 1, 1, 3), minval=-0.2, maxval=0.2)
+    cand7 = jnp.clip(x + shift, 0, 1)                                     # color temp/add
+    choice = jax.random.randint(keys[10], (b, 1, 1, 1), 0, 8)
+    cands = jnp.stack([cand0, cand1, cand2, cand3, cand4, cand5, cand6, cand7])
+    picked = jnp.take_along_axis(cands, choice[None], axis=0)[0]
+    x = _blend(x, picked, _gate(keys[11], b, 0.8))
+
+    # stage 3 (p=0.6): sharpen or blur
+    sigma = _per_sample(keys[12], b, 0.5, 1.5)
+    blurred = _separable_blur(x, sigma)
+    alpha_s = _per_sample(keys[13], b, 0.0, 0.5)
+    sharpened = jnp.clip(x + alpha_s * (x - blurred), 0, 1)
+    use_sharpen = _gate(keys[14], b, 0.5)
+    stage3 = _blend(blurred, sharpened, use_sharpen)
+    x = _blend(x, stage3, _gate(keys[15], b, 0.6))
+
+    # stage 4 (p=0.6): contrast (gamma / linear / log-ish)
+    gamma = _per_sample(keys[16], b, 0.5, 2.0)
+    lin = _per_sample(keys[17], b, 0.5, 1.0)
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    c_gamma = jnp.clip(x, 1e-6, 1.0) ** gamma
+    c_lin = jnp.clip((x - mean) * lin + mean, 0, 1)
+    pickc = _gate(keys[18], b, 0.5)
+    stage4 = _blend(c_gamma, c_lin, pickc)
+    x = _blend(x, stage4, _gate(keys[19], b, 0.6))
+
+    # stage 5 (p=0.6): geometry — affine / elastic / big rotate
+    theta_aff = _random_affine_matrix(keys[20], b, h, w)
+    theta_rot = _random_affine_matrix(keys[21], b, h, w, scale=(1.0, 1.0),
+                                      translate=0.0, rotate=45.0, shear_x=0.0,
+                                      shear_y=0.0)
+    which = jax.random.randint(keys[22], (b,), 0, 3)
+    theta = jnp.where((which == 0)[:, None, None], theta_aff, theta_rot)
+    grid_aff = affine_grid(theta[:, :2, :], (h, w))
+    grid_el = _elastic_grid(jax.random.fold_in(rng, 77), b, h, w, 0.05)
+    grid = jnp.where((which == 1)[:, None, None, None], grid_el, grid_aff)
+    warped = grid_sample(x, grid)
+    x = _blend(x, warped, _gate(keys[23], b, 0.6))
+    return x
+
+
+@jax.jit
+def abinet_augment(rng: jnp.ndarray, images: jnp.ndarray) -> jnp.ndarray:
+    """ABINet-style augmentation (use_abi=True path; CVGeometry p=.5 w/
+    rotation±45/affine/perspective, CVDeterioration p=.25, CVColorJitter
+    p=.25 — Dino/dataset/transforms.py:307-366)."""
+    from ccd_tpu.ops.warp import affine_grid, grid_sample, homography_grid
+    b, h, w, _ = images.shape
+    keys = jax.random.split(rng, 12)
+    x = images
+
+    # geometry p=0.5: rotate / affine / perspective (uniform pick)
+    theta_rot = _random_affine_matrix(keys[0], b, h, w, scale=(1.0, 1.0),
+                                      translate=0.0, rotate=45.0, shear_x=0.0,
+                                      shear_y=0.0)
+    theta_aff = _random_affine_matrix(keys[1], b, h, w, scale=(0.5, 2.0),
+                                      translate=0.0, rotate=15.0, shear_x=45.0,
+                                      shear_y=15.0)
+    hmat = _random_perspective(keys[2], b, h, w, distortion=0.5)
+    which = jax.random.randint(keys[3], (b,), 0, 3)
+    theta = jnp.where((which == 0)[:, None, None], theta_rot, theta_aff)
+    grid_a = affine_grid(theta[:, :2, :], (h, w))
+    grid_p = homography_grid(hmat, (h, w))
+    grid = jnp.where((which == 2)[:, None, None, None], grid_p, grid_a)
+    x = _blend(x, grid_sample(x, grid), _gate(keys[4], b, 0.5))
+
+    # deterioration p=0.25: gaussian noise var 20 / motion blur / pixelate
+    noise = jax.random.normal(keys[5], x.shape) * (20.0 ** 0.5 / 255.0)
+    c0 = jnp.clip(x + noise, 0, 1)
+    c1 = _motion_blur(x, keys[6], 1.0)
+    small = jax.image.resize(x, (b, h // 4, w // 4, 3), "linear")
+    c2 = jax.image.resize(small, (b, h, w, 3), "nearest")
+    pick = jax.random.randint(keys[7], (b, 1, 1, 1), 0, 3)
+    det = jnp.take_along_axis(jnp.stack([c0, c1, c2]), pick[None], axis=0)[0]
+    x = _blend(x, det, _gate(keys[8], b, 0.25))
+
+    # color jitter p=0.25: brightness/contrast/saturation
+    bright = _per_sample(keys[9], b, 0.5, 1.5)
+    contrast = _per_sample(keys[10], b, 0.5, 1.5)
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    jit = jnp.clip((x * bright - mean) * contrast + mean, 0, 1)
+    x = _blend(x, jit, _gate(keys[11], b, 0.25))
+    return x
+
+
 def pretrain_views(rng: jnp.ndarray, images: jnp.ndarray, severity: int = 5
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build the 3-view pretrain batch on device.

@@ -40,7 +40,7 @@ class LmdbImageDataset:
 
     def __init__(self, path: str, is_training: bool = True, img_h: int = 32,
                  img_w: int = 128, data_portion: float = 1.0, mask: bool = False,
-                 mask_path: str = "", min_pixels: int = 6,
+                 mask_path: str = "", min_pixels: int = 6, multiscales: bool = False,
                  seed: int = 0, **_unused):
         self.path = path
         self.name = os.path.basename(os.path.normpath(path))
@@ -48,6 +48,7 @@ class LmdbImageDataset:
         self.img_h, self.img_w = img_h, img_w
         self.use_mask = mask
         self.min_pixels = min_pixels
+        self.multiscales = multiscales
         self._rng = random.Random(seed)
 
         self.env = LmdbReader(path)
@@ -108,7 +109,33 @@ class LmdbImageDataset:
             return img, mask, label
         return None
 
+    def resize_multiscales(self, img: np.ndarray,
+                           border_type=cv2.BORDER_CONSTANT) -> np.ndarray:
+        """Aspect-preserving (or random-ratio while training) resize + pad
+        (resize_multiscales, dataset.py:100-125)."""
+        import math
+
+        def _resize_ratio(img, ratio, fix_h=True):
+            if ratio * self.img_w < self.img_h:
+                trg_h = self.img_h if fix_h else int(ratio * self.img_w)
+                trg_w = self.img_w
+            else:
+                trg_h, trg_w = self.img_h, int(self.img_h / ratio)
+            img = cv2.resize(img, (trg_w, trg_h))
+            pad_h, pad_w = (self.img_h - trg_h) / 2, (self.img_w - trg_w) / 2
+            top, bottom = math.ceil(pad_h), math.floor(pad_h)
+            left, right = math.ceil(pad_w), math.floor(pad_w)
+            return cv2.copyMakeBorder(img, top, bottom, left, right, border_type)
+
+        if self.is_training and self._rng.random() < 0.5:
+            hh = self._rng.randint(self.img_h, self.img_h)
+            ww = self._rng.randint(self.img_h, self.img_w)
+            return _resize_ratio(img, hh / ww)
+        return _resize_ratio(img, img.shape[0] / img.shape[1])
+
     def resize(self, img: np.ndarray) -> np.ndarray:
+        if self.multiscales:
+            return self.resize_multiscales(img, cv2.BORDER_REPLICATE)
         return cv2.resize(img, (self.img_w, self.img_h))
 
 

@@ -38,6 +38,23 @@ def affine_grid(theta: jnp.ndarray, size_hw: Tuple[int, int]) -> jnp.ndarray:
     return jnp.broadcast_to(grid, (b, h, w, 2))
 
 
+def homography_grid(h33: jnp.ndarray, size_hw: Tuple[int, int]) -> jnp.ndarray:
+    """(B, 3, 3) projective matrices (normalized coords) -> (B, H, W, 2) grid.
+
+    Like :func:`affine_grid` but with the perspective divide, for the
+    CVRandomPerspective-style warps (Dino/dataset/transforms.py:198-232).
+    """
+    h, w = size_hw
+    xs = (2.0 * jnp.arange(w, dtype=h33.dtype) + 1.0) / w - 1.0
+    ys = (2.0 * jnp.arange(h, dtype=h33.dtype) + 1.0) / h - 1.0
+    gx, gy = jnp.meshgrid(xs, ys)
+    base = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (H, W, 3)
+    mapped = jnp.einsum("bkc,hwc->bhwk", h33, base,
+                        precision=jax.lax.Precision.HIGHEST)  # (B, H, W, 3)
+    return mapped[..., :2] / jnp.maximum(jnp.abs(mapped[..., 2:3]), 1e-6) * \
+        jnp.sign(mapped[..., 2:3])
+
+
 def grid_sample(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample ``x`` (B, H, W, C) at ``grid`` (B, Ho, Wo, 2).
 

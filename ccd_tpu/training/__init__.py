@@ -1,13 +1,14 @@
 from ccd_tpu.training.optim import (
     cancel_last_layer_grads, clip_gradients_per_param, ema_update, make_adamw,
-    weight_decay_mask,
+    make_optimizer, weight_decay_mask,
 )
 from ccd_tpu.training.pretrain_step import PretrainState, make_pretrain_step, init_pretrain_state
 from ccd_tpu.training.finetune_step import FinetuneState, make_finetune_step, init_finetune_state
 
 __all__ = [
     "cancel_last_layer_grads", "clip_gradients_per_param", "ema_update",
-    "make_adamw", "weight_decay_mask", "PretrainState", "make_pretrain_step",
+    "make_adamw", "make_optimizer", "weight_decay_mask", "PretrainState",
+    "make_pretrain_step",
     "init_pretrain_state", "FinetuneState", "make_finetune_step",
     "init_finetune_state",
 ]

@@ -36,6 +36,27 @@ def make_adamw(params: Any, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-
     )(learning_rate=0.0, weight_decay=0.0)
 
 
+def make_optimizer(name: str, params: Any) -> optax.GradientTransformation:
+    """adamw / sgd / lars selection (train.py:132-137) with injectable
+    lr/weight_decay hyperparams and the no-decay grouping for all three."""
+    mask = weight_decay_mask(params)
+    if name == "adamw":
+        return make_adamw(params)
+    if name == "sgd":
+        def sgd(learning_rate, weight_decay):
+            return optax.chain(
+                optax.add_decayed_weights(weight_decay, mask=mask),
+                optax.sgd(learning_rate, momentum=0.9))
+        return optax.inject_hyperparams(sgd)(learning_rate=0.0, weight_decay=0.0)
+    if name == "lars":
+        def lars(learning_rate, weight_decay):
+            return optax.lars(learning_rate, weight_decay=weight_decay,
+                              weight_decay_mask=mask, momentum=0.9,
+                              trust_ratio_mask=mask)
+        return optax.inject_hyperparams(lars)(learning_rate=0.0, weight_decay=0.0)
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
 def clip_gradients_per_param(grads: Any, clip: Optional[float]) -> Any:
     """Per-parameter L2 norm clipping (clip_gradients, utils.py:132-141)."""
     if not clip:

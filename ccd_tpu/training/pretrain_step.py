@@ -43,9 +43,11 @@ class PretrainState:
 
 def init_pretrain_state(rng: jnp.ndarray, student: CCDPretrainModel,
                         teacher: CCDPretrainModel, image_hw=(32, 128),
-                        num_slots: int = 26) -> Tuple[PretrainState, optax.GradientTransformation]:
+                        num_slots: int = 26, optimizer: str = "adamw"
+                        ) -> Tuple[PretrainState, optax.GradientTransformation]:
     """Build initial state: teacher starts as a copy of the student's
     backbone+head (train.py:109-110)."""
+    from ccd_tpu.training.optim import make_optimizer
     h, w = image_hw
     init_rng, state_rng = jax.random.split(rng)
     images = jnp.zeros((2, h, w, 3), jnp.float32)
@@ -57,7 +59,7 @@ def init_pretrain_state(rng: jnp.ndarray, student: CCDPretrainModel,
     # real copies — the teacher must not alias student buffers (donation safety)
     teacher_params = {"backbone": jax.tree.map(jnp.copy, student_params["backbone"]),
                       "head": jax.tree.map(jnp.copy, student_params["head"])}
-    tx = make_adamw(student_params)
+    tx = make_optimizer(optimizer, student_params)
     opt_state = tx.init(student_params)
     center = jnp.zeros((1, student.out_dim), jnp.float32)
     state = PretrainState(

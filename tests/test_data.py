@@ -146,3 +146,43 @@ def test_normalize_roundtrip():
     x = jnp.asarray(np.random.default_rng(0).random((2, 4, 4, 3)), jnp.float32)
     np.testing.assert_allclose(np.asarray(denormalize(normalize(x))), np.asarray(x),
                                atol=1e-6)
+
+
+def test_supervised_augment_bounds_and_determinism():
+    from ccd_tpu.data.augment import supervised_augment
+    images, _, _ = make_synthetic_batch(8, seed=9)
+    x = jnp.asarray(images, jnp.float32) / 255.0
+    out = np.asarray(supervised_augment(jax.random.PRNGKey(3), x))
+    assert out.shape == x.shape
+    assert out.min() >= -1e-5 and out.max() <= 1 + 1e-5
+    out2 = np.asarray(supervised_augment(jax.random.PRNGKey(3), x))
+    np.testing.assert_array_equal(out, out2)
+    assert np.abs(out - np.asarray(x)).max() > 1e-3  # something changed
+
+
+def test_abinet_augment_bounds():
+    from ccd_tpu.data.augment import abinet_augment
+    images, _, _ = make_synthetic_batch(8, seed=10)
+    x = jnp.asarray(images, jnp.float32) / 255.0
+    out = np.asarray(abinet_augment(jax.random.PRNGKey(4), x))
+    assert out.shape == x.shape
+    assert out.min() >= -1e-5 and out.max() <= 1 + 1e-5
+
+
+def test_homography_grid_identity():
+    from ccd_tpu.ops.warp import homography_grid, affine_grid
+    eye = jnp.broadcast_to(jnp.eye(3), (2, 3, 3))
+    hg = homography_grid(eye, (8, 16))
+    ag = affine_grid(jnp.broadcast_to(jnp.eye(2, 3), (2, 2, 3)), (8, 16))
+    np.testing.assert_allclose(np.asarray(hg), np.asarray(ag), atol=1e-6)
+
+
+def test_multiscale_resize():
+    from ccd_tpu.data.dataset import SupervisedDataset
+    import types
+    ds = types.SimpleNamespace(img_h=32, img_w=128, is_training=False)
+    img = np.random.default_rng(0).integers(0, 255, (20, 50, 3)).astype(np.uint8)
+    out = SupervisedDataset.resize_multiscales(ds, img)
+    assert out.shape == (32, 128, 3)
+    # aspect preserved: 20/50 ratio -> trg 32x80 padded to 128 wide
+    assert (out[:, :24] == 0).all() and (out[:, -24:] == 0).all()

@@ -142,3 +142,19 @@ def test_finetune_step_sharded_matches_single():
     _, m_sharded = jax.jit(step)(sharded_state, *batch)
     _, m_single = jax.jit(step)(state, jnp.asarray(images), jnp.asarray(targets))
     assert abs(float(m_sharded["loss"]) - float(m_single["loss"])) < 1e-5
+
+
+def test_make_optimizer_variants():
+    import optax
+    from ccd_tpu.training import make_optimizer
+    params = {"w": jnp.ones((4, 4)), "bias": jnp.ones((4,))}
+    grads = {"w": jnp.full((4, 4), 0.1), "bias": jnp.full((4,), 0.1)}
+    for name in ("adamw", "sgd", "lars"):
+        tx = make_optimizer(name, params)
+        st = tx.init(params)
+        st.hyperparams["learning_rate"] = jnp.float32(0.1)
+        st.hyperparams["weight_decay"] = jnp.float32(0.01)
+        updates, _ = tx.update(grads, st, params)
+        new = optax.apply_updates(params, updates)
+        assert np.isfinite(np.asarray(new["w"])).all(), name
+        assert float(np.abs(np.asarray(new["w"]) - 1.0).max()) > 0, name

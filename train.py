@@ -34,6 +34,8 @@ def _parse_arguments():
                    help="hard cap on iterations (smoke runs)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="pretrain on N freshly generated synthetic samples")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of steps 10-15 here")
     return p.parse_args()
 
 
@@ -98,7 +100,8 @@ def main():
     # ------------------------------------------------------------ models
     student, teacher = build_pretrain_models(config)
     rng = jax.random.PRNGKey(int(config.seed or 0))
-    state, tx = init_pretrain_state(rng, student, teacher, image_hw=(h, w))
+    state, tx = init_pretrain_state(rng, student, teacher, image_hw=(h, w),
+                                    optimizer=str(config.optimizer or "adamw"))
 
     global_batch = batch_size * jax.process_count()
     total_iters = max(int(config.training_epochs) * config.iter_num, 1)
@@ -156,6 +159,10 @@ def main():
     os.makedirs(config.global_workdir, exist_ok=True)
 
     while iteration < n_steps:
+        if args.profile_dir and iteration == 10:
+            jax.profiler.start_trace(args.profile_dir)
+        if args.profile_dir and iteration == 15:
+            jax.profiler.stop_trace()
         images_u8, masks = next(batches)
         aug_rng, key = jax.random.split(aug_rng)
         raw = jnp.asarray(images_u8, jnp.float32) / 255.0

@@ -37,6 +37,40 @@ def _parse_arguments():
     return p.parse_args()
 
 
+def _log_attention_maps(writer, viz_attn, params, images_d, iteration):
+    """Per-character cross-attention heatmap grid over the input image
+    (parity: train_finetune.py:301-326)."""
+    try:
+        import cv2
+        import numpy as np
+        from ccd_tpu.data.augment import denormalize
+
+        attn = np.asarray(viz_attn(params, images_d))  # (1, T, 256)
+        t = attn.shape[1]
+        img = np.asarray(denormalize(images_d[0]))
+        img = np.clip(img * 255.0, 0, 255).astype(np.float32)
+        writer.add_image("Mask/Input_image", (img / 255.0).transpose(2, 0, 1),
+                         iteration)
+        overlaps = []
+        for step in range(t):
+            amap = attn[0, step].reshape(8, 32)
+            amap = (amap - amap.min()) / (amap.max() - amap.min() + 1e-12)
+            amap = cv2.resize(amap, (img.shape[1], img.shape[0]))
+            heat = cv2.applyColorMap((amap * 255).astype(np.uint8),
+                                     cv2.COLORMAP_JET).astype(np.float32)
+            overlaps.append(cv2.addWeighted(heat, 0.6, img, 0.4, 0))
+        grid_rows = []
+        for r in range(0, t, 5):
+            row = np.concatenate(overlaps[r:r + 5] + [np.zeros_like(overlaps[0])]
+                                 * (5 - len(overlaps[r:r + 5])), axis=1)
+            grid_rows.append(row)
+        grid = np.concatenate(grid_rows, axis=0) / 255.0
+        writer.add_image("Mask/vis_Maps", grid.transpose(2, 0, 1), iteration)
+    except Exception as e:  # visualization must never kill training
+        import logging
+        logging.debug(f"attention viz skipped: {e}")
+
+
 def main():
     args = _parse_arguments()
     from ccd_tpu.config import Config
@@ -63,7 +97,9 @@ def main():
     from ccd_tpu.checkpoints.orbax_io import CheckpointManager
     from ccd_tpu.data.dataset import SupervisedDataset, build_dataset
     from ccd_tpu.data.pipeline import DataLoader, infinite_batches
-    from ccd_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+    from ccd_tpu.data.augment import (IMAGENET_MEAN, IMAGENET_STD,
+                                      abinet_augment, normalize,
+                                      supervised_augment)
     from ccd_tpu.evaluation.runner import evaluate_benchmarks
     from ccd_tpu.parallel import data_mesh, replicated_sharding, shard_batch
     from ccd_tpu.training import init_finetune_state, make_finetune_step
@@ -152,8 +188,30 @@ def main():
     ckpt_dir = os.path.join(config.output_dir, config.global_name)
     manager = CheckpointManager(ckpt_dir, max_to_keep=3)
 
-    mean = np.asarray(IMAGENET_MEAN)
-    std = np.asarray(IMAGENET_STD)
+    # device-side augmentation (dataset_pretrain.py:68-160: use_abi selects
+    # the ABINet CV family, otherwise the staged iaa pipeline)
+    data_aug = bool(config.dataset_data_aug)
+    aug_fn = abinet_augment if config.dataset_use_abi else supervised_augment
+    aug_rng = jax.random.PRNGKey(int(config.seed or 0) + 17 + jax.process_index())
+
+    @jax.jit
+    def prep(key, images_u8):
+        x = images_u8.astype(jnp.float32) / 255.0
+        if data_aug:
+            x = aug_fn(key, x)
+        return normalize(x)
+
+    # last-layer cross-attention visualization (train_finetune.py:301-326)
+    @jax.jit
+    def viz_attn(params, images):
+        logits, attn = model.apply({"params": params}, images[:1],
+                                   viz_targets, train_mode=True,
+                                   deterministic=True)
+        return attn.mean(1)  # (1, T, 256)
+
+    viz_targets = jnp.full((1, model.max_seq_len), model.padding_idx,
+                           jnp.int32).at[:, 0].set(model.start_idx)
+
     loss_avg = Averager()
     best_accuracy = 0.0
     batches = infinite_batches(train_loader)
@@ -161,8 +219,9 @@ def main():
     n_steps = min(total_iters, args.max_iters or total_iters)
     for iteration in range(n_steps):
         images, targets, _texts = next(batches)
-        images = ((images.astype(np.float32) / 255.0) - mean) / std
-        batch = shard_batch((jnp.asarray(images), jnp.asarray(targets)), mesh)
+        aug_rng, key = jax.random.split(aug_rng)
+        images_d = prep(key, jnp.asarray(images))
+        batch = shard_batch((images_d, jnp.asarray(targets)), mesh)
         state, metrics = jstep(state, *batch)
         loss_avg.add(float(metrics["loss"]))
 
@@ -173,6 +232,8 @@ def main():
             if writer:
                 writer.add_scalar("metric/train_loss", loss_avg.val(), iteration)
                 writer.add_scalar("metric/lr", lr, iteration)
+                _log_attention_maps(writer, viz_attn, state.params, images_d,
+                                    iteration)
             loss_avg.reset()
 
         if iteration and iteration % int(config.training_eval_iters or 3000) == 0:
