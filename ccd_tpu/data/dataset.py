@@ -24,6 +24,7 @@ import numpy as np
 
 from ccd_tpu.convertor import AttnConvertor
 from ccd_tpu.data.lmdb import LmdbReader
+from ccd_tpu.native import open_reader
 
 
 def mask_env_path(data_path: str, mask_root: str) -> Optional[str]:
@@ -51,12 +52,13 @@ class LmdbImageDataset:
         self.multiscales = multiscales
         self._rng = random.Random(seed)
 
-        self.env = LmdbReader(path)
-        self.mask_env: Optional[LmdbReader] = None
+        # native C++ reader when a compiler is available, else pure Python
+        self.env = open_reader(path)
+        self.mask_env = None
         if mask and mask_path:
             mpath = mask_env_path(path, mask_path)
             try:
-                self.mask_env = LmdbReader(mpath)
+                self.mask_env = open_reader(mpath)
             except Exception:
                 print(f"{path}: no mask lmdb at {mpath}")
 

@@ -74,6 +74,33 @@ def dino_char_loss(student_logits: jnp.ndarray, teacher_logits: jnp.ndarray,
     return (term(t1, s2) + term(t2, s1)) / 2.0
 
 
+def dino_char_loss_fused(student_logits: jnp.ndarray, teacher_logits: jnp.ndarray,
+                         valid: jnp.ndarray, center: jnp.ndarray, teacher_temp: float,
+                         student_temp: float = 0.1) -> jnp.ndarray:
+    """:func:`dino_char_loss` via the fused Pallas CE kernel (one HBM pass
+    over the (rows, 65536) logits instead of several fp32 materializations).
+
+    Numerically equivalent (fp32 online softmax); ``teacher_temp`` may be a
+    traced scalar (fed to the kernel through SMEM).
+    """
+    from ccd_tpu.ops.fused_dino_ce import fused_dino_row_ce
+    b = valid.shape[0]
+    t_slots, k = student_logits.shape[1], student_logits.shape[2]
+    s1, s2 = student_logits[:b], student_logits[b:]
+    t1, t2 = teacher_logits[:b], teacher_logits[b:]
+    # cross-view pairs: (teacher view1 -> student view2), (teacher view2 -> s1)
+    s_pair = jnp.concatenate([s2, s1], axis=0).reshape(-1, k)
+    t_pair = jax.lax.stop_gradient(
+        jnp.concatenate([t1, t2], axis=0).reshape(-1, k))
+    ce = fused_dino_row_ce(s_pair, t_pair, center.reshape(1, k), teacher_temp,
+                           float(student_temp))
+    ce = ce.reshape(2, b, t_slots)
+    w = valid.astype(jnp.float32)[None]
+    denom = jnp.maximum(w.sum(axis=(1, 2)), 1.0)  # per-term valid count
+    per_term = (ce * w).sum(axis=(1, 2)) / denom
+    return per_term.mean()
+
+
 def dino_center_update(center: jnp.ndarray, teacher_logits: jnp.ndarray,
                        valid: jnp.ndarray, momentum: float = 0.9) -> jnp.ndarray:
     """EMA update of the teacher center over valid char slots of both views.
@@ -88,6 +115,27 @@ def dino_center_update(center: jnp.ndarray, teacher_logits: jnp.ndarray,
     count = jnp.maximum(w2.sum(), 1.0)
     batch_center = total / count
     return center * momentum + batch_center * (1.0 - momentum)
+
+
+def sinkhorn_knopp_teacher(teacher_output: jnp.ndarray, teacher_temp,
+                           n_iterations: int = 3) -> jnp.ndarray:
+    """Sinkhorn-Knopp teacher assignment (Dino_loss.py:157-184, the
+    reference's alternative to softmax centering — present but unused there;
+    provided for completeness). Under pjit the sums are global, replacing the
+    explicit ``dist.all_reduce`` calls.
+
+    teacher_output: (N, K) logits -> (N, K) assignment (rows sum to 1).
+    """
+    q = jnp.exp(teacher_output.astype(jnp.float32) / teacher_temp).T  # (K, N)
+    n_total = q.shape[1]
+    k = q.shape[0]
+    q = q / jnp.sum(q)
+    for _ in range(n_iterations):
+        q = q / jnp.sum(q, axis=1, keepdims=True)
+        q = q / k
+        q = q / jnp.sum(q, axis=0, keepdims=True)
+        q = q / n_total
+    return (q * n_total).T
 
 
 def tf_loss(logits: jnp.ndarray, targets: jnp.ndarray, ignore_index: int

@@ -271,3 +271,54 @@ class NRTRDecoder(nn.Module):
         _, probs = lax.scan(step, (tok0, cache_k0, cache_v0),
                             jnp.arange(self.max_seq_len))
         return jnp.transpose(probs, (1, 0, 2))  # (B, T, C-1)
+
+    def decode_greedy_early_stop(self, out_enc) -> jnp.ndarray:
+        """Early-exit greedy decode (the ``forward_test_speed`` counterpart,
+        nrtr_decoder.py:177-203): a ``lax.while_loop`` that stops as soon as
+        every sequence in the batch has emitted EOS (a saner stopping rule
+        than the reference's batch-global argmax check). Output is the same
+        fixed (B, max_seq_len, C-1) buffer; steps after the stop stay zero.
+        """
+        b, s, _ = out_enc.shape
+        l = self.max_seq_len + 1
+        h, dk, dv = self.n_head, self.d_k, self.d_v
+        enc_ks = jnp.stack([lyr.enc_attn.k_heads(out_enc) for lyr in self.layer_stack])
+        enc_vs = jnp.stack([lyr.enc_attn.v_heads(out_enc) for lyr in self.layer_stack])
+        positions = jnp.arange(l)
+
+        def cond(carry):
+            t, _tok, _ck, _cv, _probs, done = carry
+            return (t < self.max_seq_len) & ~jnp.all(done)
+
+        def body(carry):
+            t, tok, ck, cv, probs_buf, done = carry
+            x = (self.trg_word_emb(tok)[:, None]
+                 + lax.dynamic_slice_in_dim(self.pos_table, t, 1, axis=1
+                                            ).astype(self.dtype))
+            key_mask = (positions <= t)[None, None, None, :]
+            new_ck, new_cv = [], []
+            for i, layer in enumerate(self.layer_stack):
+                x, k_i, v_i = layer.step(x, ck[i], cv[i], t, enc_ks[i], enc_vs[i],
+                                         key_mask, deterministic=True)
+                new_ck.append(k_i)
+                new_cv.append(v_i)
+            x = self.layer_norm(x)
+            probs = jax.nn.softmax(self.classifier(x[:, 0]).astype(jnp.float32),
+                                   axis=-1)
+            nxt = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            probs_buf = probs_buf.at[:, t].set(probs)
+            done = done | (nxt == self.end_token_id)
+            return (t + 1, nxt, jnp.stack(new_ck), jnp.stack(new_cv), probs_buf, done)
+
+        init = (jnp.int32(0), jnp.full((b,), self.start_idx, jnp.int32),
+                jnp.zeros((self.n_layers, b, l, h, dk), self.dtype),
+                jnp.zeros((self.n_layers, b, l, h, dv), self.dtype),
+                jnp.zeros((b, self.max_seq_len, self.num_classes - 1), jnp.float32),
+                jnp.zeros((b,), bool))
+        *_, probs_buf, _ = lax.while_loop(cond, body, init)
+        return probs_buf
+
+    @property
+    def end_token_id(self) -> int:
+        # BOS/EOS share an id in the default convertor layout (id 91)
+        return self.start_idx

@@ -61,16 +61,20 @@ class CCDRecognizer(nn.Module):
         return tokens
 
     def __call__(self, img, targets: Optional[jnp.ndarray] = None,
-                 train_mode: bool = True, deterministic: bool = True):
+                 train_mode: bool = True, deterministic: bool = True,
+                 test_speed: bool = False):
         """img: (B, 32, 128, 3) NHWC normalized images.
 
         train_mode=True: requires ``targets`` (B, T) padded target ids;
         returns (logits (B, T, C-1), cross_attn (B, H, T, 256)).
-        train_mode=False: returns greedy per-step softmax (B, T, C-1).
+        train_mode=False: returns greedy per-step softmax (B, T, C-1);
+        test_speed=True uses the early-exit decode (forward_test_speed).
         """
         feat = self.extract_feat(img, deterministic)
         out_enc = self.mlp_encoder(feat, deterministic=deterministic)
         if train_mode:
             return self.decoder(out_enc, targets, train_mode=True,
                                 deterministic=deterministic)
+        if test_speed:
+            return self.decoder.decode_greedy_early_stop(out_enc)
         return self.decoder(out_enc, None, train_mode=False)

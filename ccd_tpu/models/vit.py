@@ -73,10 +73,11 @@ class Attention(nn.Module):
     qkv_bias: bool = False
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_flash: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, need_weights: bool = False):
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
@@ -85,10 +86,21 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
+        # fused Pallas path: the (B,H,N,N) probabilities never touch HBM.
+        # Exactly equivalent when attention dropout is inactive and the
+        # weights aren't requested (ViT configs use attn_drop=0).
+        flash_ok = (self.use_flash and not need_weights
+                    and (self.attn_drop == 0.0 or deterministic)
+                    and jax.default_backend() == "tpu")
+        if flash_ok:
+            from ccd_tpu.ops.flash_attention import mha
+            out = mha(q, k, v, scale).reshape(b, n, c)
+            attn = None
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
         out = nn.Dense(self.dim, kernel_init=_dense_init, dtype=self.dtype,
                        name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
@@ -111,7 +123,7 @@ class Block(nn.Module):
         y, attn = Attention(self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
                             self.drop, dtype=self.dtype, name="attn")(
             nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x),
-            deterministic=deterministic)
+            deterministic=deterministic, need_weights=return_attention)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype,
                 name="mlp")(

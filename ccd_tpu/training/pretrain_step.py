@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ccd_tpu.losses import dino_char_loss, dino_center_update, seg_loss
+from ccd_tpu.losses import (dino_char_loss, dino_char_loss_fused,
+                            dino_center_update, seg_loss)
 from ccd_tpu.models.pretrain import CCDPretrainModel, char_validity_mask
 from ccd_tpu.ops.cc_label import label_clusters
 from ccd_tpu.ops.warp import affine_grid, grid_sample
@@ -93,10 +94,19 @@ def make_pretrain_step(
     imgnet_based: int = 1_000_000,
     gt_mask_epochs: int = 30,        # epoch threshold for GT vs predicted masks
     num_slots: int = 26,
+    use_fused_ce: bool = False,
 ):
     """Build the jitted train step. All arguments are static (baked into the
-    compiled function); state/batch are the only traced inputs."""
+    compiled function); state/batch are the only traced inputs.
+
+    ``use_fused_ce``: route the DINO CE through the Pallas kernel. Measured
+    on v5e at the reference config this is ~5% SLOWER than the XLA path
+    (XLA fuses the CE epilogue into the 65536-dim head matmul and avoids
+    materializing the logits; the kernel forces them into HBM), so it is off
+    by default — kept for backends/shapes where XLA fusion fails.
+    """
     temps = jnp.asarray(teacher_temps, jnp.float32)
+    ce_fn = dino_char_loss_fused if use_fused_ce else dino_char_loss
 
     def step(state: PretrainState, images: jnp.ndarray, masks: jnp.ndarray,
              theta: jnp.ndarray) -> Tuple[PretrainState, Dict[str, jnp.ndarray]]:
@@ -151,8 +161,8 @@ def make_pretrain_step(
                          ).astype(jnp.float32)
             seg_gt = jnp.concatenate([masks, warped_gt], axis=0)
             l_seg = seg_loss(seg_logits, seg_gt)
-            l_dino = dino_char_loss(s_logits, t_logits, valid, state.center,
-                                    teacher_temp, student_temp)
+            l_dino = ce_fn(s_logits, t_logits, valid, state.center,
+                           teacher_temp, student_temp)
             total = l_seg + l_dino
             aux = {"batch_stats": new_vars["batch_stats"], "t_logits": t_logits,
                    "valid": valid, "mask_loss": l_seg, "dino_loss": l_dino}

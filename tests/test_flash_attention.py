@@ -1,0 +1,73 @@
+"""Flash-attention kernel correctness (interpret mode on CPU) vs einsum ref."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+import ccd_tpu.ops.flash_attention as fa
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    """Run pallas_call in interpreter mode (no TPU in the test env)."""
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    yield
+
+
+def _ref_attention(q, k, v, scale):
+    s = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p.astype(q.dtype), v)
+
+
+def test_flash_forward_matches_einsum():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(4, 64, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(4, 64, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(4, 64, 32)).astype(np.float32))
+    scale = 32 ** -0.5
+    out = fa.flash_attention(q, k, v, scale)
+    ref = _ref_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_backward_matches_einsum():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(2, 32, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 32, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 32, 16)).astype(np.float32))
+    scale = 16 ** -0.5
+    co = jnp.asarray(rng.normal(size=(2, 32, 16)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, scale) * co)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref_attention(q, k, v, scale) * co)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
+                                   err_msg=f"d{name}")
+
+
+def test_mha_layout_roundtrip():
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(2, 16, 3, 8)).astype(np.float32))  # B,S,H,D
+    k = jnp.asarray(rng.normal(size=(2, 16, 3, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 16, 3, 8)).astype(np.float32))
+    out = fa.mha(q, k, v, 8 ** -0.5)
+    assert out.shape == (2, 16, 3, 8)
+    # per-head equivalence with the reference math
+    ref = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * 8 ** -0.5
+    ref = jax.nn.softmax(ref, axis=-1).astype(q.dtype)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", ref, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -1,0 +1,63 @@
+"""Fused DINO-CE Pallas kernel correctness (interpret mode) vs reference loss."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ccd_tpu.losses import dino_char_loss
+from ccd_tpu.losses.losses import dino_char_loss_fused
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+    yield
+
+
+def _inputs(b=2, t=4, k=512, seed=0):
+    rng = np.random.default_rng(seed)
+    s = rng.normal(size=(2 * b, t, k)).astype(np.float32)
+    te = rng.normal(size=(2 * b, t, k)).astype(np.float32)
+    c = rng.normal(size=(1, k)).astype(np.float32)
+    valid = np.zeros((b, t), bool)
+    valid[:, :3] = True
+    return jnp.asarray(s), jnp.asarray(te), jnp.asarray(valid), jnp.asarray(c)
+
+
+def test_fused_matches_reference_value():
+    s, te, valid, c = _inputs()
+    ref = float(dino_char_loss(s, te, valid, c, 0.04))
+    fused = float(dino_char_loss_fused(s, te, valid, c, 0.04,
+                                       ))
+    assert abs(ref - fused) < 1e-4, (ref, fused)
+
+
+def test_fused_matches_reference_grad():
+    s, te, valid, c = _inputs(seed=1)
+    g_ref = jax.grad(lambda s: dino_char_loss(s, te, valid, c, 0.04))(s)
+    g_fused = jax.grad(lambda s: dino_char_loss_fused(s, te, valid, c, 0.04))(s)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               atol=2e-6, rtol=1e-4)
+
+
+def test_fused_multi_chunk_grid():
+    """K spanning multiple k_block chunks exercises the online rescaling."""
+    from ccd_tpu.ops.fused_dino_ce import fused_dino_row_ce
+    rng = np.random.default_rng(2)
+    r, k = 8, 1024
+    s = jnp.asarray(rng.normal(size=(r, k)).astype(np.float32) * 5)
+    t = jnp.asarray(rng.normal(size=(r, k)).astype(np.float32) * 5)
+    c = jnp.asarray(rng.normal(size=(1, k)).astype(np.float32))
+    ce = fused_dino_row_ce(s, t, c, 0.04, 0.1, row_block=8, k_block=256)
+    # plain-jnp reference
+    sp = s / 0.1
+    q = jax.nn.softmax((t - c) / 0.04, axis=-1)
+    ref = jnp.sum(-q * jax.nn.log_softmax(sp, axis=-1), axis=-1)
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(ref), atol=1e-4,
+                               rtol=1e-5)

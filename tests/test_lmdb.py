@@ -100,3 +100,55 @@ def test_real_lmdb_can_read_our_files(tmp_path):
     with env.begin() as txn:
         assert txn.get(b"k") == b"v"
         assert txn.get(b"big") == b"y" * 10_000
+
+
+def test_native_reader_parity(tmp_path):
+    from ccd_tpu.native import NativeLmdbReader, build
+    if build() is None:
+        pytest.skip("no compiler for native reader")
+    path = str(tmp_path / "db")
+    rng = np.random.default_rng(7)
+    big = rng.bytes(50_000)
+    with LmdbWriter(path) as w:
+        for i in range(1, 2001):
+            w.put(f"image-{i:09d}".encode(), rng.bytes(int(rng.integers(50, 4000))))
+        w.put(b"num-samples", b"2000")
+        w.put(b"big", big)
+    py = LmdbReader(path)
+    nat = NativeLmdbReader(path)
+    assert len(nat) == len(py)
+    assert nat.get(b"num-samples") == b"2000"
+    assert nat.get(b"big") == big
+    assert nat.get(b"missing") is None
+    for i in (1, 999, 2000):
+        k = f"image-{i:09d}".encode()
+        assert nat.get(k) == py.get(k)
+    nat.close(); py.close()
+
+
+def test_native_reader_throughput(tmp_path):
+    """Native get should not be slower than the pure-Python reader."""
+    import time
+    from ccd_tpu.native import NativeLmdbReader, build
+    if build() is None:
+        pytest.skip("no compiler for native reader")
+    path = str(tmp_path / "db")
+    rng = np.random.default_rng(8)
+    with LmdbWriter(path) as w:
+        for i in range(1, 5001):
+            w.put(f"image-{i:09d}".encode(), rng.bytes(1000))
+        w.put(b"num-samples", b"5000")
+    keys = [f"image-{i:09d}".encode() for i in range(1, 5001)]
+
+    def timed(reader):
+        t0 = time.perf_counter()
+        for k in keys:
+            reader.get(k)
+        return time.perf_counter() - t0
+
+    py = LmdbReader(path)
+    nat = NativeLmdbReader(path)
+    t_py = timed(py)
+    t_nat = timed(nat)
+    py.close(); nat.close()
+    assert t_nat < t_py, (t_nat, t_py)

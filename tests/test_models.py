@@ -203,3 +203,32 @@ def test_char_validity_mask_reference_semantics():
     assert mask[1].sum() == 4
     full = np.ones((1, 26), bool)
     assert np.asarray(char_validity_mask(jnp.asarray(full))).sum() == 26
+
+
+def test_early_stop_decode_matches_prefix(rng):
+    """Early-exit decode must equal the fixed-length decode up to each
+    sequence's EOS (and the shared steps are identical)."""
+    decoder = NRTRDecoder(n_layers=2, d_embedding=64, n_head=4, d_k=16, d_v=16,
+                          d_model=64, d_inner=32, num_classes=93, max_seq_len=8,
+                          start_idx=91, padding_idx=92)
+    out_enc = jax.random.normal(rng, (3, 10, 64))
+    targets = jnp.full((3, 8), 92, jnp.int32).at[:, 0].set(91)
+    params = decoder.init(rng, out_enc, targets, train_mode=True)
+    full = np.asarray(decoder.apply(params, out_enc, train_mode=False))
+    early = np.asarray(decoder.apply(
+        params, out_enc, method=lambda m, e: m.decode_greedy_early_stop(e)))
+    assert early.shape == full.shape
+    # wherever early produced a step (nonzero row), it matches full decode
+    produced = early.sum(-1) > 0
+    np.testing.assert_allclose(early[produced], full[produced], atol=1e-5)
+    # every sequence decodes at least one step
+    assert produced[:, 0].all()
+
+
+def test_sinkhorn_teacher_assignment():
+    from ccd_tpu.losses import sinkhorn_knopp_teacher
+    t = jax.random.normal(jax.random.PRNGKey(0), (12, 16))
+    q = np.asarray(sinkhorn_knopp_teacher(t, 0.04))
+    assert q.shape == (12, 16)
+    np.testing.assert_allclose(q.sum(-1), 1.0, atol=1e-4)  # rows are assignments
+    assert (q >= 0).all()

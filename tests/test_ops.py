@@ -208,3 +208,30 @@ def test_char_attention_pool_matches_reference_math():
 
     np.testing.assert_allclose(np.asarray(vecs), ref, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(index), ref_index)
+
+
+def test_label_clusters_serpentine_worst_case():
+    """A single snake-shaped component spanning nearly the whole image — a
+    propagation path (~1300 px) far beyond any real glyph. Converges to ONE
+    slot when n_pool covers the path length (documented bound)."""
+    mask = np.zeros((1, 32, 128), dtype=np.float32)
+    # serpentine: horizontal rows connected alternately at left/right ends
+    for r, row in enumerate(range(1, 31, 3)):
+        mask[0, row, 2:126] = 1.0
+        if row + 3 < 31:
+            if r % 2 == 0:
+                mask[0, row:row + 4, 124:126] = 1.0
+            else:
+                mask[0, row:row + 4, 2:4] = 1.0
+    out = np.asarray(label_clusters(jnp.asarray(mask), n_pool=1400))
+    assert out[0, 0].sum() == mask.sum()  # single component in slot 0
+    assert out[0, 1:].sum() == 0
+
+
+def test_label_clusters_wide_glyph_default_npool():
+    """A maximal-width convex component (the full image) must converge with
+    the DEFAULT n_pool (Chebyshev diameter 127 <= 128)."""
+    full = jnp.ones((1, 32, 128))
+    out = np.asarray(label_clusters(full))
+    assert out[0, 0].sum() == 32 * 128
+    assert out[0, 1:].sum() == 0

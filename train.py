@@ -135,10 +135,22 @@ def main():
     ckpt_dir = os.path.join(config.output_dir, config.global_name)
     manager = CheckpointManager(ckpt_dir, max_to_keep=3,
                                 keep_period=int(config.saveckp_freq or 10))
+
+    # checkpoint payload mirrors the reference's
+    # {student, teacher, optimizer, epoch/iteration, dino_loss-center}
+    # (train.py:197-207); the rng key is re-derived on resume.
+    def state_payload(s):
+        return {"student_params": s.student_params,
+                "student_stats": s.student_stats,
+                "teacher_params": s.teacher_params,
+                "opt_state": s.opt_state,
+                "center": s.center, "iteration": s.iteration}
+
     latest = manager.latest_step()
     if latest is not None:
         logging.info(f"resuming from checkpoint step {latest}")
-        state = manager.restore(latest, state)
+        restored = manager.restore(latest, jax.device_get(state_payload(state)))
+        state = state.replace(**restored)
 
     try:
         from torch.utils.tensorboard import SummaryWriter
@@ -175,11 +187,7 @@ def main():
             global_epoch = epoch
             metric_logger.synchronize_between_processes()
             logging.info(f"Averaged stats: {metric_logger}")
-            manager.save(iteration, jax.device_get(
-                {"student_params": state.student_params,
-                 "student_stats": state.student_stats,
-                 "teacher_params": state.teacher_params,
-                 "center": state.center, "iteration": state.iteration}))
+            manager.save(iteration, jax.device_get(state_payload(state)))
             if jax.process_index() == 0:
                 stats = {f"train_{k}": m.global_avg
                          for k, m in metric_logger.meters.items()}
@@ -202,11 +210,7 @@ def main():
                     writer.add_scalar(f"metric/{k}", float(metrics[k]), iteration)
         iteration += 1
 
-    manager.save(iteration, jax.device_get(
-        {"student_params": state.student_params,
-         "student_stats": state.student_stats,
-         "teacher_params": state.teacher_params,
-         "center": state.center, "iteration": state.iteration}))
+    manager.save(iteration, jax.device_get(state_payload(state)))
     manager.wait()
     total = time.time() - start
     logging.info(f"Training time {total:.0f}s "
