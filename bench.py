@@ -37,6 +37,18 @@ def main():
 
     import numpy as np
     import jax
+
+    # persistent compilation cache: the full-size step takes minutes to
+    # compile through the remote-compile tunnel; cache it across runs
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from ccd_tpu.data.augment import pretrain_views

@@ -92,9 +92,19 @@ def load_pretrained_backbone(path: str, params: Dict[str, Any],
 
 
 def _restore_pretrain(path: str) -> Dict[str, Any]:
-    from ccd_tpu.checkpoints.orbax_io import restore_pytree
-    tree = restore_pytree(path)
-    # orbax pretrain state stores teacher_params = {backbone, head}
+    """Restore pretrain params from an Orbax pytree dir or a
+    CheckpointManager dir (the pretrain CLI's output)."""
+    from ccd_tpu.checkpoints.orbax_io import CheckpointManager, restore_pytree
+    # CheckpointManager layout: <dir>/<step>/default/...
+    subdirs = [d for d in os.listdir(path) if d.isdigit()] \
+        if os.path.isdir(path) else []
+    if subdirs:
+        mgr = CheckpointManager(path)
+        tree = mgr.restore(mgr.latest_step())
+        mgr.close()
+    else:
+        tree = restore_pytree(path)
+    # the pretrain payload stores teacher_params = {backbone, head}
     if "teacher_params" in tree:
         return tree["teacher_params"]
     return tree

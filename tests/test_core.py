@@ -160,3 +160,36 @@ def test_text_accuracy_edit_distance():
     assert res["cwr"] == 0.0
     assert res["ted"] == 1
     assert abs(res["ned"] - 1 / 5) < 1e-9
+
+
+def test_all_shipped_configs_load():
+    import glob
+    import os
+    from ccd_tpu.config import Config
+    cfgs = glob.glob(os.path.join(os.path.dirname(__file__), "..", "ccd_tpu",
+                                  "configs", "*.yaml"))
+    assert len(cfgs) >= 7
+    for path in cfgs:
+        if path.endswith("template.yaml"):
+            continue
+        cfg = Config(path)
+        assert cfg.arch in ("vit_tiny", "vit_small", "vit_base")
+        assert cfg.patch_size == 4
+        assert cfg.global_name
+
+
+def test_builders_from_configs():
+    import os
+    from ccd_tpu.builders import build_pretrain_models, build_recognizer
+    from ccd_tpu.config import Config
+    base = os.path.join(os.path.dirname(__file__), "..", "ccd_tpu", "configs")
+    pre = Config(os.path.join(base, "ccd_pretrain_vit_small.yaml"))
+    student, teacher = build_pretrain_models(pre)
+    assert student.arch == "vit_small" and student.out_dim == 65536
+    assert student.with_seg_head and not teacher.with_seg_head
+    assert not student.norm_last_layer and teacher.norm_last_layer
+
+    ft = Config(os.path.join(base, "ccd_finetune_ard.yaml"))
+    model, convertor = build_recognizer(ft)
+    assert model.num_classes == 93 and model.start_idx == 91
+    assert model.decoder_n_layers == 6 and model.max_seq_len == 25

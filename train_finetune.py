@@ -92,6 +92,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # multi-host initialization when launched under a JAX coordinator
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
     from ccd_tpu.builders import (build_recognizer, load_pretrained_backbone,
                                   load_recognizer_params)
     from ccd_tpu.checkpoints.orbax_io import CheckpointManager
