@@ -31,6 +31,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true",
                         help="tiny CPU-runnable variant (not the headline number)")
+    parser.add_argument("--eval", action="store_true",
+                        help="benchmark greedy-decode inference instead of pretrain")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--steps", type=int, default=20)
     args = parser.parse_args()
@@ -56,6 +58,9 @@ def main():
     from ccd_tpu.losses import teacher_temp_schedule
     from ccd_tpu.models import CCDPretrainModel
     from ccd_tpu.training import init_pretrain_state, make_pretrain_step
+
+    if args.eval:
+        return bench_eval(args)
 
     if args.smoke:
         arch, out_dim, batch, dtype = "vit_tiny", 1024, 8, jnp.float32
@@ -85,19 +90,21 @@ def main():
     masks_d = jnp.asarray(masks)
     rng = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # warmup / compile. Synchronize via device_get (host transfer of a value
+    # data-dependent on the last step) — block_until_ready is unreliable on
+    # some PJRT tunnels.
     for i in range(3):
         rng, k = jax.random.split(rng)
         views, theta = jviews(k, raw, severity=5)
         state, metrics = jstep(state, views, masks_d, theta)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
 
     start = time.perf_counter()
     for i in range(args.steps):
         rng, k = jax.random.split(rng)
         views, theta = jviews(k, raw, severity=5)
         state, metrics = jstep(state, views, masks_d, theta)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     elapsed = time.perf_counter() - start
 
     ips = batch * args.steps / elapsed
@@ -107,6 +114,48 @@ def main():
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / ESTIMATED_3090_IMG_PER_SEC, 3),
+    }))
+
+
+def bench_eval(args):
+    """Inference benchmark: ViT-Small recognizer KV-cached greedy decode
+    (the test.py serving path, reference batch 288)."""
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ccd_tpu.models import CCDRecognizer
+
+    batch = args.batch or 288
+    dtype = jnp.float32 if args.smoke else jnp.bfloat16
+    model = CCDRecognizer(arch="vit_tiny" if args.smoke else "vit_small",
+                          max_seq_len=25, dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.normal(rng, (batch, 32, 128, 3), jnp.float32)
+    targets = jnp.full((batch, 25), model.padding_idx, jnp.int32).at[:, 0].set(
+        model.start_idx)
+    params = model.init({"params": rng, "dropout": rng}, img, targets,
+                        train_mode=True)["params"]
+
+    decode = jax.jit(lambda p, x: model.apply({"params": p}, x, train_mode=False))
+    out = decode(params, img)
+    float(jax.device_get(out.sum()))  # honest sync (see main())
+    start = time.perf_counter()
+    for _ in range(args.steps):
+        out = decode(params, img)
+    float(jax.device_get(out.sum()))
+    elapsed = time.perf_counter() - start
+    ips = batch * args.steps / elapsed
+    # reference: 25 full 6-layer decoder re-runs per batch on a 3090; no
+    # published number — report raw throughput with vs_baseline vs the same
+    # 100 img/s yardstick scaled by the pipeline's relative cost (~1).
+    print(json.dumps({
+        "metric": "eval_greedy_decode_images_per_sec",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 100.0, 3),
     }))
 
 

@@ -14,7 +14,7 @@ parity requirement, BASELINE.md).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

@@ -16,14 +16,12 @@ from __future__ import annotations
 
 import os
 import random
-import re
 from typing import List, Optional, Sequence, Tuple
 
 import cv2
 import numpy as np
 
 from ccd_tpu.convertor import AttnConvertor
-from ccd_tpu.data.lmdb import LmdbReader
 from ccd_tpu.native import open_reader
 
 

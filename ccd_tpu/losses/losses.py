@@ -17,8 +17,6 @@ Parity targets:
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

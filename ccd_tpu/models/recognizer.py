@@ -9,7 +9,7 @@ scores ``(B, max_seq_len, num_classes - 1)``.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

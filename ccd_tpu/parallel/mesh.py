@@ -11,7 +11,7 @@ handled by the same collectives after ``jax.distributed.initialize()``.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import numpy as np
 import jax

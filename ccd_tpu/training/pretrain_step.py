@@ -27,7 +27,7 @@ from ccd_tpu.ops.cc_label import label_clusters
 from ccd_tpu.ops.warp import affine_grid, grid_sample
 from ccd_tpu.schedules import cosine_iter_schedule
 from ccd_tpu.training.optim import (
-    cancel_last_layer_grads, clip_gradients_per_param, ema_update, make_adamw,
+    cancel_last_layer_grads, clip_gradients_per_param, ema_update,
 )
 
 

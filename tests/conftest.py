@@ -21,3 +21,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# persistent compilation cache: the pretrain-step test graphs take ~1-2 min
+# each to compile on CPU; repeat suite runs hit the cache
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache_cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
