@@ -200,3 +200,20 @@ def make_pretrain_step(
         return new_state, metrics
 
     return step
+
+
+def make_fused_pretrain_step(student, teacher, tx, *, severity: int = 5, **kwargs):
+    """Variant taking RAW images: the 3-view augmentation + θ generation run
+    INSIDE the same jit as the train step (one compiled program per
+    iteration, no intermediate host boundary). step(state, raw, masks) with
+    raw (B, H, W, 3) float [0,1]."""
+    from ccd_tpu.data.augment import pretrain_views
+
+    inner = make_pretrain_step(student, teacher, tx, **kwargs)
+
+    def step(state: PretrainState, raw: jnp.ndarray, masks: jnp.ndarray):
+        rng, aug_key = jax.random.split(state.rng)
+        views, theta = pretrain_views(aug_key, raw, severity=severity)
+        return inner(state.replace(rng=rng), views, masks, theta)
+
+    return step

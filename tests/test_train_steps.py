@@ -158,3 +158,23 @@ def test_make_optimizer_variants():
         new = optax.apply_updates(params, updates)
         assert np.isfinite(np.asarray(new["w"])).all(), name
         assert float(np.abs(np.asarray(new["w"]) - 1.0).max()) > 0, name
+
+
+def test_fused_pretrain_step_from_raw():
+    from ccd_tpu.training import make_fused_pretrain_step
+    student = CCDPretrainModel(arch="vit_micro", out_dim=128, with_seg_head=True,
+                               norm_last_layer=False)
+    teacher = CCDPretrainModel(arch="vit_micro", out_dim=128, with_seg_head=False)
+    state, tx = init_pretrain_state(jax.random.PRNGKey(7), student, teacher)
+    step = jax.jit(make_fused_pretrain_step(
+        student, teacher, tx, severity=5, base_lr=1e-3, min_lr=1e-6,
+        total_iters=50, warmup_iters=0, weight_decay=0.0, weight_decay_end=0.0,
+        momentum_teacher=0.999, teacher_temps=teacher_temp_schedule(0.04, 0.04, 0, 5),
+        clip_grad=3.0, freeze_last_layer=0, global_batch=4, imgnet_based=10_000))
+    rng = np.random.default_rng(5)
+    raw = rng.random((4, 32, 128, 3)).astype(np.float32)
+    masks = np.zeros((4, 32, 128), np.float32)
+    masks[:, 8:24, 20:50] = 1.0
+    state, metrics = step(state, jnp.asarray(raw), jnp.asarray(masks))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.iteration) == 1

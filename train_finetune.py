@@ -125,7 +125,8 @@ def main():
         SupervisedDataset, config.dataset_train_roots, is_training=True,
         max_seq_len=max_seq_len,
         charset_type=config.dataset_charset_type or "DICT90",
-        data_portion=float(config.dataset_portion or 1.0))
+        data_portion=float(config.dataset_portion or 1.0),
+        multiscales=bool(config.dataset_multiscales))
     train_loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True,
                               drop_last=True,
                               num_workers=int(config.dataset_num_workers or 4),
