@@ -47,6 +47,12 @@ def main():
     logging.info(config)
 
     import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir', os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    except Exception:
+        pass
     from ccd_tpu.builders import build_recognizer, load_recognizer_params
     from ccd_tpu.evaluation.runner import evaluate_benchmarks
 

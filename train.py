@@ -54,6 +54,12 @@ def main():
 
     import numpy as np
     import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir', os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     # multi-host initialization when launched under a JAX coordinator
@@ -182,7 +188,11 @@ def main():
         views, theta = jviews(key, raw, severity=severity)
         state, metrics = jstep(state, views, masks_d, theta)
 
-        epoch = int(jax.device_get(metrics["epoch"]))
+        # virtual epoch is a pure function of the iteration — computed on the
+        # host so the loop never synchronizes with the device except at
+        # logging/checkpoint boundaries (keeps dispatch running ahead of the
+        # data loader)
+        epoch = int((iteration + 1) * global_batch // config.imgnet_based)
         if epoch != global_epoch:
             global_epoch = epoch
             metric_logger.synchronize_between_processes()
@@ -196,9 +206,10 @@ def main():
                     f.write(json.dumps(stats) + "\n")
             metric_logger = MetricLogger(delimiter="  ")
 
-        metric_logger.update(loss=float(metrics["loss"]),
-                             lr=float(metrics["lr"]), wd=float(metrics["wd"]))
         if iteration % int(config.training_show_iters or 200) == 0:
+            metrics = jax.device_get(metrics)  # sync point (logging only)
+            metric_logger.update(loss=float(metrics["loss"]),
+                                 lr=float(metrics["lr"]), wd=float(metrics["wd"]))
             ips = batch_size * (iteration + 1) / (time.time() - start)
             logging.info(f"it {iteration} epoch {epoch} "
                          f"loss {float(metrics['loss']):.4f} "

@@ -90,6 +90,12 @@ def main():
 
     import numpy as np
     import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir', os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     # multi-host initialization when launched under a JAX coordinator
@@ -218,6 +224,7 @@ def main():
                            jnp.int32).at[:, 0].set(model.start_idx)
 
     loss_avg = Averager()
+    pending = []
     best_accuracy = 0.0
     batches = infinite_batches(train_loader)
     start = time.time()
@@ -228,10 +235,13 @@ def main():
         images_d = prep(key, jnp.asarray(images))
         batch = shard_batch((images_d, jnp.asarray(targets)), mesh)
         state, metrics = jstep(state, *batch)
-        loss_avg.add(float(metrics["loss"]))
+        pending.append(metrics["loss"])  # device scalars; fetched at log time
 
         if iteration % int(config.training_show_iters or 50) == 0:
-            lr = float(metrics["lr"])
+            for v in jax.device_get(pending):
+                loss_avg.add(float(v))
+            pending.clear()
+            lr = float(jax.device_get(metrics["lr"]))
             logging.info(f"iteration:{iteration}--> train loss:{loss_avg.val():.4f} "
                          f"lr:{lr:.2e} ({(time.time()-start):.0f}s)")
             if writer:
