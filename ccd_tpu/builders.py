@@ -70,13 +70,27 @@ def is_torch_checkpoint(path: str) -> bool:
 
 def load_recognizer_params(path: str, model: CCDRecognizer,
                            init_params: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
-    """Load finetune weights from a torch .pth or an Orbax directory."""
+    """Load finetune weights from a torch .pth, an Orbax pytree dir, a
+    CheckpointManager root, or a single CheckpointManager step dir
+    (``.../<step>`` as written by the finetune CLI)."""
     if is_torch_checkpoint(path):
         depth = 12
         return convert_recognizer_checkpoint(path, n_layers=model.decoder_n_layers,
                                              depth=depth)
-    from ccd_tpu.checkpoints.orbax_io import restore_pytree
-    return restore_pytree(path, init_params)
+    from ccd_tpu.checkpoints.orbax_io import CheckpointManager, restore_pytree
+    norm = os.path.normpath(path)
+    if os.path.isdir(norm) and os.path.basename(norm).isdigit():
+        # a single manager step dir: restore via its parent manager
+        mgr = CheckpointManager(os.path.dirname(norm))
+        tree = mgr.restore(int(os.path.basename(norm)))
+        mgr.close()
+    elif os.path.isdir(norm) and any(d.isdigit() for d in os.listdir(norm)):
+        mgr = CheckpointManager(norm)
+        tree = mgr.restore(mgr.latest_step())
+        mgr.close()
+    else:
+        tree = restore_pytree(path, init_params)
+    return tree["params"] if isinstance(tree, dict) and "params" in tree else tree
 
 
 def load_pretrained_backbone(path: str, params: Dict[str, Any],
