@@ -173,6 +173,10 @@ def main():
     global_epoch = 0
     start = time.time()
     n_steps = min(total_iters, args.max_iters or total_iters)
+    if args.max_iters and args.max_iters > total_iters:
+        logging.warning(f"--max_iters {args.max_iters} exceeds the schedule "
+                        f"length epochs*iter_num={total_iters}; running "
+                        f"{total_iters} iterations")
     log_path = os.path.join(config.global_workdir, "log.txt")
     os.makedirs(config.global_workdir, exist_ok=True)
 

@@ -229,6 +229,10 @@ def main():
     batches = infinite_batches(train_loader)
     start = time.time()
     n_steps = min(total_iters, args.max_iters or total_iters)
+    if args.max_iters and args.max_iters > total_iters:
+        logging.warning(f"--max_iters {args.max_iters} exceeds the schedule "
+                        f"length epochs*iter_num={total_iters}; running "
+                        f"{total_iters} iterations")
     for iteration in range(n_steps):
         images, targets, _texts = next(batches)
         aug_rng, key = jax.random.split(aug_rng)
