@@ -212,8 +212,8 @@ def test_char_attention_pool_matches_reference_math():
 
 def test_label_clusters_serpentine_worst_case():
     """A single snake-shaped component spanning nearly the whole image — a
-    propagation path (~1300 px) far beyond any real glyph. Converges to ONE
-    slot when n_pool covers the path length (documented bound)."""
+    propagation path (~1300 px) far beyond any real glyph. The adaptive
+    fixpoint loop must converge it to ONE slot at DEFAULT parameters."""
     mask = np.zeros((1, 32, 128), dtype=np.float32)
     # serpentine: horizontal rows connected alternately at left/right ends
     for r, row in enumerate(range(1, 31, 3)):
@@ -223,15 +223,67 @@ def test_label_clusters_serpentine_worst_case():
                 mask[0, row:row + 4, 124:126] = 1.0
             else:
                 mask[0, row:row + 4, 2:4] = 1.0
-    out = np.asarray(label_clusters(jnp.asarray(mask), n_pool=1400))
+    out = np.asarray(label_clusters(jnp.asarray(mask)))
     assert out[0, 0].sum() == mask.sum()  # single component in slot 0
     assert out[0, 1:].sum() == 0
 
 
 def test_label_clusters_wide_glyph_default_npool():
     """A maximal-width convex component (the full image) must converge with
-    the DEFAULT n_pool (Chebyshev diameter 127 <= 128)."""
+    the DEFAULT parameters (adaptive propagation)."""
     full = jnp.ones((1, 32, 128))
     out = np.asarray(label_clusters(full))
     assert out[0, 0].sum() == 32 * 128
     assert out[0, 1:].sum() == 0
+
+
+def test_label_clusters_specks_do_not_evict_glyphs():
+    """>64 sub-threshold specks scattered BEFORE (raster-wise) a real glyph —
+    the round-1 bug regime (VERDICT weak #2): area filtering must happen over
+    ALL components before slot selection (DBSCAN.py:78-97)."""
+    mask = np.zeros((1, 32, 128), dtype=np.float32)
+    rng = np.random.default_rng(11)
+    placed = 0
+    while placed < 100:  # isolated 1-px specks on an even lattice (rows 0-14,
+        i, j = rng.integers(0, 8), rng.integers(0, 60)  # disjoint from glyph)
+        mask[0, i * 2, j * 2] = 1.0
+        placed += 1
+    mask[0, 20:30, 100:120] = 1.0  # the only real (area-200) glyph
+    out = np.asarray(label_clusters(jnp.asarray(mask)))
+    assert out[0, 0].sum() == 200.0
+    assert out[0, 0, 25, 110] == 1.0
+    assert out[0, 1:].sum() == 0
+    ref = _bfs_label_reference(mask[0])
+    np.testing.assert_array_equal(out[0], ref)
+
+
+def _smoothed_noise_mask(rng, h=32, w=128, sigma=2.0, thresh=0.55):
+    """Thresholded smoothed noise — statistically like a thresholded seg
+    softmax early in the epoch>=30 self-predicted-mask regime."""
+    from scipy import ndimage as ndi
+    x = ndi.gaussian_filter(rng.random((h, w)), sigma)
+    x = (x - x.min()) / max(x.max() - x.min(), 1e-9)
+    return (x > thresh).astype(np.float32)
+
+
+@pytest.mark.parametrize("kind", ["specks", "blobs", "mixed"])
+def test_label_clusters_fuzz_vs_bfs(kind):
+    """Fuzz parity vs the BFS reference over random noisy masks (VERDICT #3:
+    1000 masks across the three parametrizations)."""
+    rng = np.random.default_rng({"specks": 21, "blobs": 22, "mixed": 23}[kind])
+    n = 334
+    masks = np.zeros((n, 32, 128), dtype=np.float32)
+    for i in range(n):
+        if kind == "specks":
+            m = (rng.random((32, 128)) < rng.uniform(0.02, 0.25)).astype(np.float32)
+        elif kind == "blobs":
+            m = _smoothed_noise_mask(rng, sigma=rng.uniform(1.0, 3.0),
+                                     thresh=rng.uniform(0.4, 0.7))
+        else:  # glyph blobs + speck noise overlay
+            m = _random_blob_mask(rng, n_blobs=int(rng.integers(1, 8)))
+            m = np.maximum(m, (rng.random((32, 128)) < 0.05).astype(np.float32))
+        masks[i] = m
+    ours = np.asarray(label_clusters(jnp.asarray(masks)))
+    for i in range(n):
+        ref = _bfs_label_reference(masks[i])
+        np.testing.assert_array_equal(ours[i], ref, err_msg=f"{kind} sample {i}")
