@@ -20,7 +20,10 @@ import numpy as np
 
 
 def _t(x) -> np.ndarray:
-    return np.ascontiguousarray(np.asarray(x, dtype=np.float32))
+    # always COPY: np.asarray on a float32 torch tensor shares memory, so a
+    # later in-place torch update (optimizer.step, EMA) would silently mutate
+    # the "converted" params
+    return np.array(x, dtype=np.float32, copy=True)
 
 
 def _linear(sd: Dict[str, Any], prefix: str, bias: bool = True) -> Dict[str, np.ndarray]:

@@ -38,6 +38,7 @@ class CCDRecognizer(nn.Module):
     max_seq_len: int = 25
     start_idx: int = 91
     padding_idx: int = 92
+    encoder_drop: float = 0.1  # Mlp encoder dropout (dino_vision.py:163)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -45,7 +46,8 @@ class CCDRecognizer(nn.Module):
             patch_size=self.patch_size, drop_path_rate=self.drop_path_rate,
             dtype=self.dtype, name="backbone")
         # Mlp(embed_dim -> 512 -> 512) with GELU + dropout 0.1 (dino_vision.py:163)
-        self.mlp_encoder = MlpEncoder(hidden_features=512, out_features=512, drop=0.1,
+        self.mlp_encoder = MlpEncoder(hidden_features=512, out_features=512,
+                                      drop=self.encoder_drop,
                                       dtype=self.dtype, name="encoder")
         self.decoder = NRTRDecoder(
             n_layers=self.decoder_n_layers, d_embedding=self.decoder_d_embedding,

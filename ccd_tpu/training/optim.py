@@ -18,10 +18,18 @@ import optax
 
 def weight_decay_mask(params: Any) -> Any:
     """True = regularized. Mirrors get_params_groups: names ending in 'bias'
-    and rank<=1 params (LayerNorm scales, biases) get no weight decay."""
+    and rank<=1 params (LayerNorm scales, biases) get no weight decay.
+
+    ``last_layer_g`` (the DINOHead weight-norm gain) is additionally excluded:
+    the reference freezes it with ``requires_grad=False`` when
+    ``norm_last_layer`` (vision_transformer.py:316-317), which drops it from
+    ``get_params_groups`` entirely — so torch never weight-decays it. With
+    optax, a zero gradient alone would NOT stop ``adamw`` from decaying it
+    away from its frozen value of 1."""
     def keep(path, p):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        return (p.ndim > 1) and not name.endswith("bias")
+        return (p.ndim > 1) and not name.endswith("bias") \
+            and name != "last_layer_g"
     return jax.tree_util.tree_map_with_path(keep, params)
 
 
@@ -83,7 +91,10 @@ def cancel_last_layer_grads(grads: Any, freeze: jnp.ndarray) -> Any:
     """Zero DINO-head last-layer grads while ``freeze`` (traced bool) is set.
 
     Matches cancel_gradients_last_layer: params whose path contains
-    'last_layer'."""
+    'last_layer'. The reference sets ``p.grad = None`` which makes torch
+    AdamW skip the parameter COMPLETELY (no weight decay either) — so the
+    train step must also apply this to the optimizer *updates*, not just the
+    gradients (see make_pretrain_step)."""
     scale = 1.0 - freeze.astype(jnp.float32)
 
     def maybe_zero(path, g):

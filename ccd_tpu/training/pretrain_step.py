@@ -70,6 +70,18 @@ def init_pretrain_state(rng: jnp.ndarray, student: CCDPretrainModel,
     return state, tx
 
 
+def pretrain_state_payload(state: "PretrainState") -> dict:
+    """Checkpoint payload mirroring the reference's
+    {student, teacher, optimizer, epoch/iteration, dino_loss-center}
+    (train.py:197-207). The rng key is intentionally excluded and re-derived
+    on resume. Used by both the train CLI and the resume tests."""
+    return {"student_params": state.student_params,
+            "student_stats": state.student_stats,
+            "teacher_params": state.teacher_params,
+            "opt_state": state.opt_state,
+            "center": state.center, "iteration": state.iteration}
+
+
 def make_pretrain_step(
     student: CCDPretrainModel,
     teacher: CCDPretrainModel,
@@ -178,6 +190,10 @@ def make_pretrain_step(
         opt_state.hyperparams["learning_rate"] = lr
         opt_state.hyperparams["weight_decay"] = wd
         updates, new_opt_state = tx.update(grads, opt_state, state.student_params)
+        # cancel_gradients_last_layer sets p.grad=None, which makes torch
+        # AdamW skip the param entirely — weight decay included — so the
+        # whole UPDATE is zeroed while frozen, not just the gradient.
+        updates = cancel_last_layer_grads(updates, epoch < freeze_last_layer)
         new_student_params = optax.apply_updates(state.student_params, updates)
 
         # EMA teacher over backbone + head only (train.py:268-272)

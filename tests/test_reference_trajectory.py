@@ -1,0 +1,310 @@
+"""Training-trajectory equivalence vs the reference loops (VERDICT #2).
+
+Unit-level loss/optimizer parity cannot catch composition drift in the
+LR/WD/EMA/center/clip stacking. These tests run N steps of the REFERENCE
+training-loop semantics — the exact sequence of operations in
+``/root/reference/train.py:183-298`` (pretrain) and
+``train_finetune.py:262-290`` (finetune), reimplemented as a torch driver
+calling the reference's own modules and utils — against N steps of
+``make_pretrain_step`` / ``make_finetune_step`` from converter-matched init
+on identical batches, and assert the loss curves and final parameters track
+within float32 tolerance.
+
+Dropout/drop-path rates are zeroed on both sides (RNG streams can't be
+matched across frameworks); everything else runs the production code path.
+"""
+
+import sys
+from functools import partial
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+# reuse the reference import-path + dependency stubs (tests dir is on
+# sys.path via pytest rootdir insertion)
+from test_reference_parity import _install_reference_stubs  # noqa: E402
+
+_install_reference_stubs()
+
+from Dino.modules import vision_transformer as ref_vits  # noqa: E402
+from Dino.modules import utils as ref_utils  # noqa: E402
+from Dino.modules.segmentor import SegHead as RefSegHead  # noqa: E402
+from Dino.decoder.nrtr_decoder import NRTRDecoder as RefNRTRDecoder  # noqa: E402
+from Dino.model.dino_vision import (ABIDINOModel as RefABIDINOModel,  # noqa: E402
+                                    Mlp as RefMlp)
+from Dino.loss.Dino_loss import DINOLoss as RefDINOLoss  # noqa: E402
+from Dino.loss.ce_loss import TFLoss as RefTFLoss  # noqa: E402
+
+from ccd_tpu.checkpoints.torch_import import (  # noqa: E402
+    convert_pretrain_checkpoint, convert_recognizer_checkpoint,
+)
+from ccd_tpu.models import CCDPretrainModel, CCDRecognizer  # noqa: E402
+from ccd_tpu.training import (  # noqa: E402
+    init_finetune_state, init_pretrain_state, make_finetune_step,
+    make_pretrain_step,
+)
+
+
+def _micro_ref_vit():
+    return ref_vits.VisionTransformer(
+        patch_size=4, embed_dim=64, depth=3, num_heads=2, mlp_ratio=4,
+        qkv_bias=True, out_indices=[1, 2, 3],
+        norm_layer=partial(torch.nn.LayerNorm, eps=1e-6))
+
+
+def _glyph_masks(rng, b, h=32, w=128):
+    masks = np.zeros((b, h, w), dtype=np.float32)
+    for i in range(b):
+        for c in range(2 + i % 3):
+            r0 = int(rng.integers(4, 14))
+            c0 = 8 + 30 * c + int(rng.integers(0, 6))
+            masks[i, r0:r0 + 14, c0:c0 + 18] = 1.0
+    return masks
+
+
+def _near_identity_theta(rng, b):
+    theta = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
+    theta[:, :2, :] += rng.normal(scale=0.05, size=(b, 2, 3)).astype(np.float32)
+    return theta
+
+
+# ------------------------------------------------------------------ finetune
+
+class _RefRecognizer(torch.nn.Module):
+    """backbone -> Mlp encoder -> NRTR decoder -> TFLoss, composed exactly as
+    DINO_Finetune.forward_train (dino_vision.py:204-229); module attribute
+    names match the checkpoint layout so torch_import converts it."""
+
+    def __init__(self):
+        super().__init__()
+        self.backbone = _micro_ref_vit()
+        self.encoder = RefMlp(in_features=64, hidden_features=512,
+                              out_features=512, drop=0.0)
+        self.decoder = RefNRTRDecoder(
+            n_layers=2, d_embedding=512, n_head=8, d_k=64, d_v=64, d_model=512,
+            d_inner=64, n_position=200, dropout=0.0, num_classes=93,
+            max_seq_len=8, start_idx=91, padding_idx=92)
+        self.loss = RefTFLoss(ignore_index=92)
+
+    def forward(self, img, targets):
+        feat, _ = self.backbone(img)
+        out_enc = self.encoder(feat)
+        out_dec, _attn = self.decoder(feat, out_enc,
+                                      {"padded_targets": targets}, None,
+                                      train_mode=True)
+        return self.loss(out_dec, {"padded_targets": targets})
+
+
+def test_finetune_trajectory_matches_reference():
+    """8 steps of train_finetune.py:224-289 semantics (AdamW over
+    get_params_groups, per-iter cosine lr, clip_grad_norm_) vs
+    make_finetune_step from converted init on identical batches."""
+    n_steps, b, t = 8, 4, 8
+    lr, min_lr, wd, clip = 1e-3, 1e-5, 0.05, 5.0
+
+    torch.manual_seed(10)
+    ref = _RefRecognizer().train()
+    params = convert_recognizer_checkpoint(ref.state_dict(), n_layers=2,
+                                           depth=3)
+
+    rng = np.random.default_rng(10)
+    images = rng.normal(scale=0.5, size=(n_steps, b, 3, 32, 128)).astype(np.float32)
+    targets = rng.integers(0, 90, size=(n_steps, b, t)).astype(np.int64)
+    targets[..., 0] = 91
+    targets[..., -2:] = 92
+
+    # ---- torch driver (reference loop semantics)
+    opt = torch.optim.AdamW(ref_utils.get_params_groups(ref), lr=lr,
+                            betas=(0.9, 0.999), weight_decay=wd)
+    lr_schedule = ref_utils.cosine_scheduler(lr, min_lr, 1, n_steps,
+                                             warmup_epochs=0)
+    t_losses = []
+    for it in range(n_steps):
+        for group in opt.param_groups:
+            group["lr"] = lr_schedule[it]
+        loss = ref(torch.from_numpy(images[it]), torch.from_numpy(targets[it]))
+        loss = loss.mean()
+        ref.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), clip)
+        opt.step()
+        t_losses.append(float(loss))
+
+    # ---- ccd_tpu driver
+    model = CCDRecognizer(arch="vit_micro", max_seq_len=t, decoder_n_layers=2,
+                          decoder_d_inner=64, decoder_dropout=0.0,
+                          drop_path_rate=0.0, encoder_drop=0.0)
+    state, tx = init_finetune_state(jax.random.PRNGKey(0), model)
+    state = state.replace(params=jax.tree.map(jnp.asarray, params))
+    step = jax.jit(make_finetune_step(
+        model, tx, base_lr=lr, min_lr=min_lr, total_iters=n_steps,
+        warmup_iters=0, weight_decay=wd, clip_grad=clip))
+
+    j_losses = []
+    for it in range(n_steps):
+        state, metrics = step(state,
+                              jnp.asarray(images[it].transpose(0, 2, 3, 1)),
+                              jnp.asarray(targets[it].astype(np.int32)))
+        j_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-3, atol=2e-4)
+
+    final_ref = convert_recognizer_checkpoint(ref.state_dict(), n_layers=2,
+                                              depth=3)
+    flat_j = jax.tree_util.tree_leaves_with_path(jax.device_get(state.params))
+    flat_t = jax.tree_util.tree_leaves_with_path(final_ref)
+    for (pj, vj), (pt, vt) in zip(flat_j, flat_t):
+        assert pj == pt
+        np.testing.assert_allclose(vj, vt, atol=5e-4,
+                                   err_msg=jax.tree_util.keystr(pj))
+
+
+# ------------------------------------------------------------------ pretrain
+
+@pytest.fixture(scope="module")
+def torch_dist():
+    import torch.distributed as dist
+    if not dist.is_initialized():
+        dist.init_process_group("gloo", init_method="tcp://127.0.0.1:29517",
+                                rank=0, world_size=1)
+    return dist
+
+
+def test_pretrain_trajectory_matches_reference(torch_dist):
+    """5 steps of train.py:183-298 semantics — ABIDINOModel student/teacher,
+    DINOLoss (+center all_reduce), per-param clip, last-layer cancel, AdamW
+    with scheduled lr/wd, EMA teacher — vs make_pretrain_step."""
+    n_steps, b = 5, 4
+    out_dim = 128
+    lr, min_lr = 5e-4, 1e-6
+    wd, wd_end, m_teacher, clip = 0.04, 0.4, 0.996, 3.0
+    imgnet_based = 10 ** 9  # epoch stays 0 -> GT-mask path, frozen last layer
+
+    torch.manual_seed(11)
+    student_t = RefABIDINOModel(_micro_ref_vit(), RefSegHead(in_channels=64),
+                                ref_vits.DINOHead(64, out_dim, use_bn=False,
+                                                  norm_last_layer=True))
+    teacher_t = RefABIDINOModel(_micro_ref_vit(), None,
+                                ref_vits.DINOHead(64, out_dim, use_bn=False,
+                                                  norm_last_layer=True))
+    # De-chaotify the comparison: the reference inits DINOHead biases to
+    # exactly 0, and the `<=` validity quirk guarantees empty (all-zero)
+    # char slots, whose head output is normalize(mlp(0)) — discontinuous at
+    # bias=0 (normalize(eps*v) = v_hat for any eps) with 1/eps-scale
+    # gradients. The first optimizer step's bias SIGNS are then float-noise
+    # amplified, so two bit-inequivalent frameworks decohere chaotically.
+    # Random nonzero biases put the trajectory in the smooth regime the real
+    # run reaches after its first step; loop-composition drift (the thing
+    # under test) remains fully visible.
+    with torch.no_grad():
+        for mod in student_t.head.mlp:
+            if isinstance(mod, torch.nn.Linear):
+                mod.bias.normal_(0, 0.05)
+    teacher_t.load_state_dict(student_t.state_dict(), strict=False)
+    for p in teacher_t.parameters():
+        p.requires_grad = False
+    student_t.train()
+    teacher_t.train()
+
+    params_s, stats_s = convert_pretrain_checkpoint(student_t.state_dict(),
+                                                    branch="student", depth=3)
+    params_t, _ = convert_pretrain_checkpoint(teacher_t.state_dict(),
+                                              branch="teacher", depth=3)
+
+    rng = np.random.default_rng(11)
+    views = rng.normal(scale=0.5, size=(n_steps, b, 3, 3, 32, 128)
+                       ).astype(np.float32)  # (step, B, view, C, H, W)
+    masks = np.stack([_glyph_masks(rng, b) for _ in range(n_steps)])
+    thetas = np.stack([_near_identity_theta(rng, b) for _ in range(n_steps)])
+
+    # ---- torch driver (train.py loop semantics)
+    dino_loss_t = RefDINOLoss(out_dim, 2, 0.04, 0.04, 0, nepochs=2)
+    opt = torch.optim.AdamW(ref_utils.get_params_groups(student_t))
+    lr_sched = ref_utils.cosine_iter_scheduler(lr * b / 256.0, min_lr, n_steps)
+    wd_sched = ref_utils.cosine_iter_scheduler(wd, wd_end, n_steps)
+    m_sched = ref_utils.cosine_iter_scheduler(m_teacher, 1, n_steps)
+
+    t_losses = []
+    for it in range(n_steps):
+        epoch = int((it + 1) * b / imgnet_based)
+        for i, group in enumerate(opt.param_groups):
+            group["lr"] = lr_sched[it]
+            if i == 0:
+                group["weight_decay"] = wd_sched[it]
+        x = torch.from_numpy(views[it])
+        mk = torch.from_numpy(masks[it])
+        th = torch.from_numpy(thetas[it])
+        s_out = student_t(x, th, mk, epoch, clusters=None)
+        t_out = teacher_t(x, th, None, None, clusters=s_out["zero"],
+                          index=s_out["index"])
+        grid = torch.nn.functional.affine_grid(
+            th[:, :2, :], size=(mk.shape[0], 1, mk.shape[1], mk.shape[2]))
+        mk_img = torch.nn.functional.grid_sample(mk.unsqueeze(1), grid)
+        s_out["gt"] = [mk, (mk_img > 0.1).float().squeeze()]
+        loss = dino_loss_t(s_out, t_out, epoch)
+        opt.zero_grad()
+        loss.backward()
+        ref_utils.clip_gradients(student_t, clip)
+        ref_utils.cancel_gradients_last_layer(epoch, student_t,
+                                              freeze_last_layer=1)
+        opt.step()
+        with torch.no_grad():
+            m = m_sched[it]
+            for pq, pk in zip(student_t.backbone.parameters(),
+                              teacher_t.backbone.parameters()):
+                pk.data.mul_(m).add_((1 - m) * pq.detach().data)
+            for pq, pk in zip(student_t.head.parameters(),
+                              teacher_t.head.parameters()):
+                pk.data.mul_(m).add_((1 - m) * pq.detach().data)
+        t_losses.append(float(loss))
+
+    # ---- ccd_tpu driver
+    from ccd_tpu.losses import teacher_temp_schedule
+    student = CCDPretrainModel(arch="vit_micro", out_dim=out_dim,
+                               with_seg_head=True)
+    teacher = CCDPretrainModel(arch="vit_micro", out_dim=out_dim,
+                               with_seg_head=False)
+    state, tx = init_pretrain_state(jax.random.PRNGKey(0), student, teacher)
+    state = state.replace(
+        student_params=jax.tree.map(jnp.asarray, params_s),
+        student_stats=jax.tree.map(jnp.asarray, stats_s),
+        teacher_params=jax.tree.map(jnp.asarray, params_t))
+    step = jax.jit(make_pretrain_step(
+        student, teacher, tx, base_lr=lr * b / 256.0, min_lr=min_lr,
+        total_iters=n_steps, warmup_iters=0, weight_decay=wd,
+        weight_decay_end=wd_end, momentum_teacher=m_teacher,
+        teacher_temps=teacher_temp_schedule(0.04, 0.04, 0, 2),
+        clip_grad=clip, freeze_last_layer=1, global_batch=b,
+        imgnet_based=imgnet_based))
+
+    j_losses = []
+    for it in range(n_steps):
+        state, metrics = step(state,
+                              jnp.asarray(views[it].transpose(0, 1, 3, 4, 2)),
+                              jnp.asarray(masks[it]), jnp.asarray(thetas[it]))
+        j_losses.append(float(jax.device_get(metrics["loss"])))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-3, atol=3e-4)
+
+    # final parameter + center agreement
+    final_s, _ = convert_pretrain_checkpoint(student_t.state_dict(),
+                                             branch="student", depth=3)
+    final_t, _ = convert_pretrain_checkpoint(teacher_t.state_dict(),
+                                             branch="teacher", depth=3)
+    got = jax.device_get(state)
+    for ref_tree, got_tree, tag in ((final_s, got.student_params, "student"),
+                                    (final_t, got.teacher_params, "teacher")):
+        flat_r = jax.tree_util.tree_leaves_with_path(ref_tree)
+        flat_g = jax.tree_util.tree_leaves_with_path(got_tree)
+        assert len(flat_r) == len(flat_g)
+        for (pr, vr), (pg, vg) in zip(flat_r, flat_g):
+            assert pr == pg
+            np.testing.assert_allclose(
+                vg, vr, atol=7e-4, err_msg=f"{tag}:{jax.tree_util.keystr(pr)}")
+    np.testing.assert_allclose(np.asarray(got.center)[0],
+                               dino_loss_t.center.numpy()[0], atol=1e-5)
