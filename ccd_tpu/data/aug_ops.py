@@ -1,0 +1,786 @@
+"""Device-side (batched, jit-compatible) equivalents of the imgaug ops used
+by the reference augmentation pipelines.
+
+Parity targets: the severity-5 pretrain chain
+(``Dino/dataset/augmentation_pipelines.py:122-208``) and the staged finetune
+chain (``Dino/dataset/dataset_pretrain.py:80-160``). Every op listed there
+has a batched counterpart here, applied to (B, H, W, 3) float [0,1] images
+with per-sample parameters. Where an exact port is impractical on TPU the op
+is an explicitly documented approximation (see PARITY.md "augmentation"
+section for the op-by-op map):
+
+* ``BilateralBlur`` -> gaussian blur (edge-preservation dropped)
+* ``CLAHE`` -> clip-limited *global* equalization (no 8x8 tiling)
+* ``DirectedEdgeDetect`` -> directional Sobel-magnitude blend
+* ``MedianBlur k=7`` -> k in {3,5} (25-way sorts; 49-way not worth it)
+* ``KMeansColorQuantization`` -> true mini-batch Lloyd (4 iters, k in 2..16)
+* conv border mode: edge replication vs cv2's BORDER_REFLECT_101
+
+All randomness is derived from explicit jax PRNG keys; every op draws its
+parameters per sample so a batch mixes parameterizations exactly like the
+per-image imgaug pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+Op = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]  # (key, x) -> x'
+
+
+# ------------------------------------------------------------------ helpers
+
+def _u(key, b, lo, hi):
+    return jax.random.uniform(key, (b, 1, 1, 1), minval=lo, maxval=hi)
+
+
+def one_of(key: jnp.ndarray, x: jnp.ndarray, ops: Sequence[Op]) -> jnp.ndarray:
+    """iaa.OneOf: per-sample uniform choice among ``ops`` (all candidates are
+    computed — cheap VPU work XLA fuses; selection is one gather)."""
+    ks = jax.random.split(key, len(ops) + 1)
+    cands = jnp.stack([op(ks[i], x) for i, op in enumerate(ops)])
+    choice = jax.random.randint(ks[-1], (x.shape[0], 1, 1, 1), 0, len(ops))
+    return jnp.take_along_axis(cands, choice[None], axis=0)[0]
+
+
+def sometimes(key: jnp.ndarray, x: jnp.ndarray, p: float, op: Op) -> jnp.ndarray:
+    """iaa.Sometimes(p, op): per-sample Bernoulli gate."""
+    k1, k2 = jax.random.split(key)
+    gate = jax.random.bernoulli(k1, p, (x.shape[0], 1, 1, 1)).astype(x.dtype)
+    return x * (1.0 - gate) + op(k2, x) * gate
+
+
+def _conv3x3(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 3x3 convolution with per-sample kernels via 9 shifted adds.
+
+    x: (B, H, W, C); k: (B, 3, 3) or (3, 3). Edge padding (approximates
+    cv2's reflect border on 32x128 text crops).
+    """
+    b, h, w, _ = x.shape
+    if k.ndim == 2:
+        k = jnp.broadcast_to(k, (b, 3, 3))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    out = jnp.zeros_like(x)
+    for i in range(3):
+        for j in range(3):
+            out = out + k[:, i, j, None, None, None] * xp[:, i:i + h, j:j + w]
+    return out
+
+
+def _rgb_to_hsv(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) [0,1] RGB -> HSV with H in [0,1)."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    mx = jnp.max(x, axis=-1)
+    mn = jnp.min(x, axis=-1)
+    d = mx - mn
+    safe_d = jnp.where(d > 0, d, 1.0)
+    h = jnp.where(mx == r, (g - b) / safe_d % 6.0,
+                  jnp.where(mx == g, (b - r) / safe_d + 2.0,
+                            (r - g) / safe_d + 4.0)) / 6.0
+    h = jnp.where(d > 0, h, 0.0)
+    s = jnp.where(mx > 0, d / jnp.where(mx > 0, mx, 1.0), 0.0)
+    return jnp.stack([h, s, mx], axis=-1)
+
+
+def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    h, s, v = hsv[..., 0] % 1.0, hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _luma(x: jnp.ndarray) -> jnp.ndarray:
+    return (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])[..., None]
+
+
+def _smooth_field(key, b, h, w, octaves=((4, 8), (8, 32)), method="linear"):
+    """Multi-octave smooth noise in [-1, 1], (B, H, W, 1)."""
+    ks = jax.random.split(key, len(octaves))
+    field = jnp.zeros((b, h, w, 1))
+    amp = 1.0
+    total = 0.0
+    for k, (ch, cw) in zip(ks, octaves):
+        coarse = jax.random.uniform(k, (b, ch, cw, 1), minval=-1.0, maxval=1.0)
+        field = field + amp * jax.image.resize(coarse, (b, h, w, 1), method)
+        total += amp
+        amp *= 0.5
+    return field / total
+
+
+# ------------------------------------------------------------------ arithmetic
+# (augmentation_pipelines.py:124-146)
+
+def op_add_elementwise(key, x):
+    """iaa.AddElementwise((-40, 40)): per-pixel uniform add."""
+    b, h, w, _ = x.shape
+    add = jax.random.uniform(key, (b, h, w, 1), minval=-40 / 255, maxval=40 / 255)
+    return jnp.clip(x + add, 0, 1)
+
+
+def op_additive_gaussian(key, x, scale_max=0.2):
+    """iaa.AdditiveGaussianNoise(scale=(0, 0.2*255))."""
+    k1, k2 = jax.random.split(key)
+    b, h, w, _ = x.shape
+    sigma = _u(k1, b, 0.0, scale_max)
+    return jnp.clip(x + jax.random.normal(k2, (b, h, w, 1)) * sigma, 0, 1)
+
+
+def op_additive_laplace(key, x, scale_max=0.2):
+    """iaa.AdditiveLaplaceNoise(scale=(0, 0.2*255))."""
+    k1, k2 = jax.random.split(key)
+    b, h, w, _ = x.shape
+    sigma = _u(k1, b, 0.0, scale_max)
+    return jnp.clip(x + jax.random.laplace(k2, (b, h, w, 1)) * sigma, 0, 1)
+
+
+def op_additive_poisson(key, x, lam_max=40.0):
+    """iaa.AdditivePoissonNoise(lam=(0, 40)): adds Poisson(lam)/255 samples."""
+    k1, k2 = jax.random.split(key)
+    b, h, w, _ = x.shape
+    lam = jnp.maximum(_u(k1, b, 0.0, lam_max), 1e-3)
+    noise = jax.random.poisson(k2, jnp.broadcast_to(lam, (b, h, w, 1)))
+    return jnp.clip(x + noise.astype(x.dtype) / 255.0, 0, 1)
+
+
+def _maybe_per_channel(key, b, lo, hi, p_per_channel):
+    k1, k2, k3 = jax.random.split(key, 3)
+    per_px = jax.random.uniform(k1, (b, 1, 1, 3), minval=lo, maxval=hi)
+    single = jax.random.uniform(k2, (b, 1, 1, 1), minval=lo, maxval=hi)
+    pc = jax.random.bernoulli(k3, p_per_channel, (b, 1, 1, 1))
+    return jnp.where(pc, per_px, jnp.broadcast_to(single, per_px.shape))
+
+
+def op_multiply(key, x):
+    """iaa.Multiply((0.5, 1.5), per_channel=0.5)."""
+    mul = _maybe_per_channel(key, x.shape[0], 0.5, 1.5, 0.5)
+    return jnp.clip(x * mul, 0, 1)
+
+
+def op_multiply_elementwise(key, x, p_per_channel=0.5):
+    """iaa.MultiplyElementwise((0.5, 1.5), per_channel=0.5)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    b, h, w, c = x.shape
+    per = jax.random.uniform(k1, (b, h, w, c), minval=0.5, maxval=1.5)
+    mono = jax.random.uniform(k2, (b, h, w, 1), minval=0.5, maxval=1.5)
+    pc = jax.random.bernoulli(k3, p_per_channel, (b, 1, 1, 1))
+    return jnp.clip(x * jnp.where(pc, per, jnp.broadcast_to(mono, per.shape)), 0, 1)
+
+
+def op_dropout(key, x, p_max=0.1):
+    """iaa.Dropout(p=(0, 0.1), per_channel=0.5)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    b, h, w, c = x.shape
+    p = _u(k1, b, 0.0, p_max)
+    drop_pc = jax.random.uniform(k2, (b, h, w, c)) < p
+    drop_mono = jax.random.uniform(k3, (b, h, w, 1)) < p
+    pc = jax.random.bernoulli(k4, 0.5, (b, 1, 1, 1))
+    drop = jnp.where(pc, drop_pc, jnp.broadcast_to(drop_mono, drop_pc.shape))
+    return jnp.where(drop, 0.0, x)
+
+
+def op_coarse_dropout(key, x, p=0.02, size_percent=0.15):
+    """iaa.CoarseDropout(0.02, size_percent=0.15, per_channel=0.5)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    b, h, w, c = x.shape
+    ch = max(int(h * size_percent), 2)
+    cw = max(int(w * size_percent), 2)
+    drop_pc = jax.random.uniform(k1, (b, ch, cw, c)) < p
+    drop_mono = jax.random.uniform(k2, (b, ch, cw, 1)) < p
+    pc = jax.random.bernoulli(k3, 0.5, (b, 1, 1, 1))
+    drop = jnp.where(pc, drop_pc, jnp.broadcast_to(drop_mono, drop_pc.shape))
+    big = jax.image.resize(drop.astype(x.dtype), (b, h, w, c), "nearest")
+    return x * (1.0 - big)
+
+
+def op_dropout2d(key, x, p=0.5):
+    """iaa.Dropout2d(p=0.5): drop whole channels, always keeping >= 1
+    (imgaug's nb_keep_channels=1 default)."""
+    k1, k2 = jax.random.split(key)
+    b = x.shape[0]
+    keep = ~jax.random.bernoulli(k1, p, (b, 1, 1, 3))
+    # force at least one kept channel: if all dropped, keep a random one
+    any_kept = keep.any(axis=-1, keepdims=True)
+    forced = jax.nn.one_hot(jax.random.randint(k2, (b, 1, 1), 0, 3), 3) > 0.5
+    keep = jnp.where(any_kept, keep, forced)
+    return x * keep.astype(x.dtype)
+
+
+def _salt_pepper(key, x, p, salt=True, pepper=True, per_channel=False):
+    b, h, w, c = x.shape
+    shape = (b, h, w, c) if per_channel else (b, h, w, 1)
+    u = jax.random.uniform(key, shape)
+    out = x
+    if salt and pepper:
+        out = jnp.where(u < p / 2, 0.0, jnp.where(u > 1 - p / 2, 1.0, out))
+    elif salt:
+        out = jnp.where(u < p, 1.0, out)
+    elif pepper:
+        out = jnp.where(u < p, 0.0, out)
+    return out
+
+
+def op_impulse_noise(key, x, p=0.1):
+    """iaa.ImpulseNoise(0.1) = salt&pepper with per-channel randomness."""
+    return _salt_pepper(key, x, p, per_channel=True)
+
+
+def op_salt_and_pepper(key, x, p=0.1):
+    return _salt_pepper(key, x, p)
+
+
+def op_salt(key, x, p=0.1):
+    return _salt_pepper(key, x, p, pepper=False)
+
+
+def op_pepper(key, x, p=0.1):
+    return _salt_pepper(key, x, p, salt=False)
+
+
+def op_invert(key, x, p=0.15):
+    """iaa.Invert(0.15): per-sample invert with internal probability p."""
+    gate = jax.random.bernoulli(key, p, (x.shape[0], 1, 1, 1)).astype(x.dtype)
+    return x * (1 - gate) + (1.0 - x) * gate
+
+
+def op_solarize(key, x, p=0.5, thresh=(32 / 255, 128 / 255)):
+    """iaa.Solarize(0.5, threshold=(32, 128)): invert pixels >= threshold."""
+    k1, k2 = jax.random.split(key)
+    b = x.shape[0]
+    t = _u(k1, b, thresh[0], thresh[1])
+    sol = jnp.where(x >= t, 1.0 - x, x)
+    gate = jax.random.bernoulli(k2, p, (b, 1, 1, 1)).astype(x.dtype)
+    return x * (1 - gate) + sol * gate
+
+
+# --------------- JPEG compression (real blockwise DCT quantization)
+
+_DCT8 = np.stack([
+    (np.sqrt((1.0 if k == 0 else 2.0) / 8.0)
+     * np.cos((2 * np.arange(8) + 1) * k * np.pi / 16.0))
+    for k in range(8)
+]).astype(np.float32)  # (8, 8) orthonormal DCT-II matrix
+
+# ITU-T T.81 Annex K quantization tables
+_Q_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61], [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56], [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77], [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101], [72, 92, 95, 98, 112, 100, 103, 99],
+], np.float32)
+_Q_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99], [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99], [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99], [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99], [99, 99, 99, 99, 99, 99, 99, 99],
+], np.float32)
+
+
+def _jpeg_channel(chan: jnp.ndarray, qtable: jnp.ndarray) -> jnp.ndarray:
+    """Blockwise DCT -> quantize(round) -> inverse. chan: (B, H, W) in
+    [-128, 127] JPEG level-shifted units; qtable: (B, 8, 8)."""
+    b, h, w = chan.shape
+    blocks = chan.reshape(b, h // 8, 8, w // 8, 8).transpose(0, 1, 3, 2, 4)
+    d = jnp.asarray(_DCT8)
+    coef = jnp.einsum("ij,bnmjk,lk->bnmil", d, blocks, d)
+    q = qtable[:, None, None]
+    coef = jnp.round(coef / q) * q
+    out = jnp.einsum("ji,bnmjk,kl->bnmil", d, coef, d)
+    return out.transpose(0, 1, 3, 2, 4).reshape(b, h, w)
+
+
+def op_jpeg_compression(key, x, compression=(70, 99)):
+    """iaa.JpegCompression(compression=(70, 99)) — true 8x8 DCT quantization
+    with the T.81 tables at quality = 100 - compression, including 2x chroma
+    subsampling. H and W must be multiples of 16 (32x128 is)."""
+    b, h, w, _ = x.shape
+    comp = jax.random.uniform(key, (b,), minval=compression[0],
+                              maxval=compression[1])
+    quality = 100.0 - comp
+    # libjpeg quality -> table scale factor
+    scale = jnp.where(quality < 50, 5000.0 / quality, 200.0 - 2.0 * quality)
+    ql = jnp.clip(jnp.floor((jnp.asarray(_Q_LUMA) * scale[:, None, None]
+                             + 50.0) / 100.0), 1, 255)
+    qc = jnp.clip(jnp.floor((jnp.asarray(_Q_CHROMA) * scale[:, None, None]
+                             + 50.0) / 100.0), 1, 255)
+
+    r, g, bch = x[..., 0] * 255, x[..., 1] * 255, x[..., 2] * 255
+    y = 0.299 * r + 0.587 * g + 0.114 * bch - 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * bch
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * bch
+
+    y = _jpeg_channel(y, ql)
+    # 4:2:0 chroma subsampling
+    def sub(c):
+        small = jax.image.resize(c[..., None], (b, h // 2, w // 2, 1), "linear")
+        small = _jpeg_channel(small[..., 0], qc)
+        return jax.image.resize(small[..., None], (b, h, w, 1), "linear")[..., 0]
+    cb, cr = sub(cb), sub(cr)
+
+    y = y + 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bch = y + 1.772 * cb
+    return jnp.clip(jnp.stack([r, g, bch], axis=-1) / 255.0, 0, 1)
+
+
+def op_emboss(key, x):
+    """iaa.Emboss(alpha=(0,1), strength=(0.5,1.5))."""
+    k1, k2 = jax.random.split(key)
+    b = x.shape[0]
+    s = jax.random.uniform(k1, (b,), minval=0.5, maxval=1.5)
+    alpha = _u(k2, b, 0.0, 1.0)
+    z = jnp.zeros_like(s)
+    one = jnp.ones_like(s)
+    kern = jnp.stack([jnp.stack([-1 - s, -s, z], -1),
+                      jnp.stack([-s, one, s], -1),
+                      jnp.stack([z, s, 1 + s], -1)], -2)
+    emb = jnp.clip(_conv3x3(x, kern), 0, 1)
+    return x * (1 - alpha) + emb * alpha
+
+
+_EDGE_KERNEL = np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], np.float32)
+
+
+def op_edge_detect(key, x):
+    """iaa.EdgeDetect(alpha=(0,1))."""
+    alpha = _u(key, x.shape[0], 0.0, 1.0)
+    edge = jnp.clip(jnp.abs(_conv3x3(x, jnp.asarray(_EDGE_KERNEL))), 0, 1)
+    return x * (1 - alpha) + edge * alpha
+
+
+def op_directed_edge_detect(key, x):
+    """iaa.DirectedEdgeDetect(alpha=(0,1), direction=(0,1)) — approximated by
+    the gradient magnitude along a random direction (Sobel pair)."""
+    k1, k2 = jax.random.split(key)
+    b = x.shape[0]
+    theta = jax.random.uniform(k1, (b, 1, 1, 1), minval=0.0,
+                               maxval=2 * np.pi)
+    alpha = _u(k2, b, 0.0, 1.0)
+    sx = jnp.asarray(np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32))
+    sy = jnp.asarray(np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], np.float32))
+    gx, gy = _conv3x3(x, sx), _conv3x3(x, sy)
+    edge = jnp.clip(jnp.abs(jnp.cos(theta) * gx + jnp.sin(theta) * gy), 0, 1)
+    return x * (1 - alpha) + edge * alpha
+
+
+_EDGE_ENHANCE_MORE = np.array([[-1, -1, -1], [-1, 9, -1], [-1, -1, -1]],
+                              np.float32)
+_CONTOUR = np.array([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]], np.float32)
+
+
+def op_edge_enhance_more(key, x):
+    """iaa.pillike.FilterEdgeEnhanceMore (PIL EDGE_ENHANCE_MORE kernel)."""
+    del key
+    return jnp.clip(_conv3x3(x, jnp.asarray(_EDGE_ENHANCE_MORE)), 0, 1)
+
+
+def op_contour(key, x):
+    """iaa.pillike.FilterContour (PIL CONTOUR: 8-neighbour kernel, offset 255)."""
+    del key
+    return jnp.clip(_conv3x3(1.0 - x, jnp.asarray(_CONTOUR)), 0, 1)
+
+
+ARITHMETIC_OPS: List[Op] = [
+    op_add_elementwise, op_additive_gaussian, op_additive_laplace,
+    op_additive_poisson, op_multiply, op_multiply_elementwise, op_dropout,
+    op_coarse_dropout, op_dropout2d, op_impulse_noise, op_salt_and_pepper,
+    op_salt, op_pepper, op_invert, op_solarize, op_jpeg_compression,
+    op_emboss, op_edge_detect, op_directed_edge_detect, op_edge_enhance_more,
+    op_contour,
+]
+
+
+# ------------------------------------------------------------------ color
+# (augmentation_pipelines.py:147-163)
+
+def op_hue_add(key, x, add=(0, 50)):
+    """WithColorspace(HSV, WithChannels(0, Add((0,50)))) — OpenCV H is 0..179,
+    so the add is delta/180 of a full hue turn."""
+    b = x.shape[0]
+    delta = jax.random.uniform(key, (b, 1, 1), minval=add[0] / 180,
+                               maxval=add[1] / 180)
+    hsv = _rgb_to_hsv(x)
+    return _hsv_to_rgb(hsv.at[..., 0].add(delta))
+
+
+def op_hue_add_strong(key, x):
+    """Sequential(RGB->HSV, H += (50,100), HSV->RGB)."""
+    return op_hue_add(key, x, add=(50, 100))
+
+
+def op_multiply_and_add_to_brightness(key, x):
+    """iaa.MultiplyAndAddToBrightness(mul=(0.5,1.5), add=(-30,30)) on V."""
+    k1, k2 = jax.random.split(key)
+    b = x.shape[0]
+    mul = jax.random.uniform(k1, (b, 1, 1), minval=0.5, maxval=1.5)
+    add = jax.random.uniform(k2, (b, 1, 1), minval=-30 / 255, maxval=30 / 255)
+    hsv = _rgb_to_hsv(x)
+    v = jnp.clip(hsv[..., 2] * mul + add, 0, 1)
+    return _hsv_to_rgb(hsv.at[..., 2].set(v))
+
+
+def op_multiply_brightness(key, x):
+    """iaa.MultiplyBrightness((0.5, 1.5))."""
+    mul = jax.random.uniform(key, (x.shape[0], 1, 1), minval=0.5, maxval=1.5)
+    hsv = _rgb_to_hsv(x)
+    return _hsv_to_rgb(hsv.at[..., 2].set(jnp.clip(hsv[..., 2] * mul, 0, 1)))
+
+
+def op_multiply_hue_saturation(key, x):
+    """iaa.MultiplyHueAndSaturation((0.5,1.5), per_channel=True)."""
+    k1, k2 = jax.random.split(key)
+    b = x.shape[0]
+    mh = jax.random.uniform(k1, (b, 1, 1), minval=0.5, maxval=1.5)
+    ms = jax.random.uniform(k2, (b, 1, 1), minval=0.5, maxval=1.5)
+    hsv = _rgb_to_hsv(x)
+    hsv = hsv.at[..., 0].multiply(mh)
+    hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] * ms, 0, 1))
+    return _hsv_to_rgb(hsv)
+
+
+def op_add_hue_saturation(key, x):
+    """iaa.AddToHueAndSaturation((-50,50), per_channel=True) — OpenCV scales:
+    H delta/180, S delta/255."""
+    k1, k2 = jax.random.split(key)
+    b = x.shape[0]
+    dh = jax.random.uniform(k1, (b, 1, 1), minval=-50 / 180, maxval=50 / 180)
+    ds = jax.random.uniform(k2, (b, 1, 1), minval=-50 / 255, maxval=50 / 255)
+    hsv = _rgb_to_hsv(x)
+    hsv = hsv.at[..., 0].add(dh)
+    hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] + ds, 0, 1))
+    return _hsv_to_rgb(hsv)
+
+
+def op_grayscale(key, x):
+    """iaa.Grayscale(alpha=(0.0, 1.0))."""
+    alpha = _u(key, x.shape[0], 0.0, 1.0)
+    return x * (1 - alpha) + _luma(x) * alpha
+
+
+def op_kmeans_color_quantization(key, x, n_iters=4):
+    """iaa.KMeansColorQuantization(): joint-RGB Lloyd with k ~ U{2..16},
+    initialized from random pixels (mini but real k-means)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    b, h, w, c = x.shape
+    kmax = 16
+    flat = x.reshape(b, h * w, c)
+    idx = jax.random.randint(k1, (b, kmax), 0, h * w)
+    centers = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (B, K, 3)
+    k_eff = jax.random.randint(k2, (b, 1), 2, kmax + 1)
+    slot_ok = jnp.arange(kmax)[None] < k_eff                      # (B, K)
+
+    def lloyd(centers, _):
+        d = jnp.sum((flat[:, :, None] - centers[:, None]) ** 2, -1)
+        d = jnp.where(slot_ok[:, None], d, jnp.inf)
+        assign = jax.nn.one_hot(jnp.argmin(d, -1), kmax)          # (B, HW, K)
+        counts = assign.sum(1)[..., None]
+        new = jnp.einsum("bpk,bpc->bkc", assign, flat) / jnp.maximum(counts, 1)
+        return jnp.where(counts > 0, new, centers), None
+
+    centers, _ = jax.lax.scan(lloyd, centers, None, length=n_iters)
+    d = jnp.sum((flat[:, :, None] - centers[:, None]) ** 2, -1)
+    d = jnp.where(slot_ok[:, None], d, jnp.inf)
+    out = jnp.take_along_axis(centers, jnp.argmin(d, -1)[..., None], axis=1)
+    del k3
+    return out.reshape(b, h, w, c)
+
+
+def op_uniform_color_quantization(key, x):
+    """iaa.UniformColorQuantization(): k ~ U{2..16} uniform levels/channel."""
+    b = x.shape[0]
+    k = jax.random.randint(key, (b, 1, 1, 1), 2, 17).astype(x.dtype)
+    return jnp.clip(jnp.round(x * (k - 1)) / jnp.maximum(k - 1, 1), 0, 1)
+
+
+def _kelvin_to_rgb(t):
+    """Tanner Helland blackbody approximation; t (B,) kelvin -> (B,3) [0,1]."""
+    t = t / 100.0
+    r = jnp.where(t <= 66, 1.0,
+                  jnp.clip(1.292936 * jnp.maximum(t - 60, 1e-3) ** -0.1332047,
+                           0, 1))
+    g = jnp.where(t <= 66,
+                  jnp.clip(0.3900816 * jnp.log(jnp.maximum(t, 1e-3))
+                           - 0.6318414, 0, 1),
+                  jnp.clip(1.1298909 * jnp.maximum(t - 60, 1e-3) ** -0.0755148,
+                           0, 1))
+    b = jnp.where(t >= 66, 1.0,
+                  jnp.where(t <= 19, 0.0,
+                            jnp.clip(0.5432068 * jnp.log(jnp.maximum(t - 10,
+                                                                     1e-3))
+                                     - 1.1962541, 0, 1)))
+    return jnp.stack([r, g, b], -1)
+
+
+def op_change_color_temperature(key, x):
+    """iaa.ChangeColorTemperature((1100, 10000))."""
+    t = jax.random.uniform(key, (x.shape[0],), minval=1100.0, maxval=10000.0)
+    rgb = _kelvin_to_rgb(t)[:, None, None]
+    return jnp.clip(x * rgb, 0, 1)
+
+
+COLOR_OPS: List[Op] = [
+    op_hue_add, op_multiply_and_add_to_brightness, op_multiply_hue_saturation,
+    op_add_hue_saturation, op_hue_add_strong, op_grayscale,
+    op_kmeans_color_quantization, op_uniform_color_quantization,
+    op_change_color_temperature,
+]
+
+
+# ------------------------------------------------------------------ blur
+# (augmentation_pipelines.py:164-178)
+
+def gaussian_blur(x: jnp.ndarray, sigma: jnp.ndarray, taps: int = 5
+                  ) -> jnp.ndarray:
+    """Separable per-sample gaussian blur; sigma (B,) or (B,1,1,1)."""
+    b, h, w, _ = x.shape
+    r = taps // 2
+    offsets = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    sig = jnp.maximum(sigma.reshape(b, 1), 1e-3)
+    k = jnp.exp(-0.5 * (offsets[None, :] / sig) ** 2)
+    k = k / k.sum(axis=1, keepdims=True)
+    xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)), mode="edge")
+    rows = jnp.stack([xp[:, i:i + h] for i in range(taps)], axis=-1)
+    x = jnp.einsum("bhwct,bt->bhwc", rows, k)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
+    cols = jnp.stack([xp[:, :, i:i + w] for i in range(taps)], axis=-1)
+    return jnp.einsum("bhwct,bt->bhwc", cols, k)
+
+
+def op_sharpen(key, x):
+    """iaa.Sharpen(alpha=(0,0.5), lightness=(0,0.5)): PIL-style kernel
+    [[-1,-1,-1],[-1,8+l,-1],[-1,-1,-1]] blended by alpha."""
+    k1, k2 = jax.random.split(key)
+    b = x.shape[0]
+    light = jax.random.uniform(k1, (b,), minval=0.0, maxval=0.5)
+    alpha = _u(k2, b, 0.0, 0.5)
+    base = jnp.asarray(np.array([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]],
+                                np.float32))
+    kern = jnp.broadcast_to(base, (b, 3, 3)).at[:, 1, 1].add(light)
+    sharp = jnp.clip(_conv3x3(x, kern), 0, 1)
+    return x * (1 - alpha) + sharp * alpha
+
+
+def op_gaussian_blur(key, x):
+    """iaa.GaussianBlur((0.5, 1.5))."""
+    sigma = jax.random.uniform(key, (x.shape[0],), minval=0.5, maxval=1.5)
+    return gaussian_blur(x, sigma)
+
+
+def op_average_blur(key, x):
+    """iaa.AverageBlur(k=(2, 6)) — box blur, k restricted to {3, 5}."""
+    b, h, w, _ = x.shape
+    use5 = jax.random.bernoulli(key, 0.5, (b, 1, 1, 1)).astype(x.dtype)
+
+    def box(x, r):
+        xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
+        n = 2 * r + 1
+        out = sum(xp[:, i:i + h, j:j + w] for i in range(n) for j in range(n))
+        return out / (n * n)
+
+    return box(x, 1) * (1 - use5) + box(x, 2) * use5
+
+
+def op_median_blur(key, x):
+    """iaa.MedianBlur(k=(3, 7)) — k restricted to {3, 5} (documented)."""
+    b, h, w, _ = x.shape
+    use5 = jax.random.bernoulli(key, 0.5, (b, 1, 1, 1)).astype(x.dtype)
+
+    def med(x, r):
+        xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
+        n = 2 * r + 1
+        stack = jnp.stack([xp[:, i:i + h, j:j + w]
+                           for i in range(n) for j in range(n)], axis=-1)
+        return jnp.sort(stack, axis=-1)[..., (n * n) // 2]
+
+    return med(x, 1) * (1 - use5) + med(x, 2) * use5
+
+
+def op_motion_blur(key, x, k=5):
+    """iaa.MotionBlur(k=5): 5-tap line blur along a random direction,
+    restricted to {horizontal, vertical, 2 diagonals}."""
+    b, h, w, _ = x.shape
+    r = k // 2
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
+    dirs = [(0, 1), (1, 0), (1, 1), (1, -1)]
+    blurs = []
+    for dy, dx in dirs:
+        acc = sum(xp[:, r + dy * t:r + dy * t + h, r + dx * t:r + dx * t + w]
+                  for t in range(-r, r + 1))
+        blurs.append(acc / k)
+    choice = jax.random.randint(key, (b, 1, 1, 1), 0, len(dirs))
+    return jnp.take_along_axis(jnp.stack(blurs), choice[None], axis=0)[0]
+
+
+def op_bilateral_blur(key, x):
+    """iaa.BilateralBlur(...) — approximated by gaussian blur (documented)."""
+    sigma = jax.random.uniform(key, (x.shape[0],), minval=0.5, maxval=2.0)
+    return gaussian_blur(x, sigma)
+
+
+BLUR_KINDS: List[Op] = [op_gaussian_blur, op_average_blur, op_median_blur,
+                        op_motion_blur]
+
+
+def blur_family(key, x, kinds: Sequence[Op] = None):
+    """OneOf([Sharpen, OneOf([blur kinds])]) (augmentation_pipelines.py:164)."""
+    kinds = list(kinds) if kinds is not None else BLUR_KINDS + [op_bilateral_blur]
+    k1, k2, k3 = jax.random.split(key, 3)
+    sharp = op_sharpen(k1, x)
+    blur = one_of(k2, x, kinds)
+    use_sharp = jax.random.bernoulli(k3, 0.5, (x.shape[0], 1, 1, 1))
+    return jnp.where(use_sharp, sharp, blur)
+
+
+# ------------------------------------------------------------------ contrast
+# (augmentation_pipelines.py:179-188)
+
+def op_gamma_contrast(key, x):
+    """iaa.GammaContrast((0.5, 2.0))."""
+    gamma = _u(key, x.shape[0], 0.5, 2.0)
+    return jnp.clip(x, 0, 1) ** gamma
+
+
+def op_linear_contrast(key, x):
+    """iaa.LinearContrast((0.5, 1.0)): 127.5 + alpha*(I - 127.5)."""
+    alpha = _u(key, x.shape[0], 0.5, 1.0)
+    return jnp.clip(0.5 + alpha * (x - 0.5), 0, 1)
+
+
+def op_sigmoid_contrast(key, x):
+    """iaa.SigmoidContrast(gain=(3,10), cutoff=(0.4,0.6))."""
+    k1, k2 = jax.random.split(key)
+    b = x.shape[0]
+    gain = _u(k1, b, 3.0, 10.0)
+    cutoff = _u(k2, b, 0.4, 0.6)
+    return 1.0 / (1.0 + jnp.exp(gain * (cutoff - x)))
+
+
+def op_log_contrast(key, x):
+    """iaa.LogContrast(gain=(0.6, 1.4)): gain * log2(1 + I)."""
+    gain = _u(key, x.shape[0], 0.6, 1.4)
+    return jnp.clip(gain * jnp.log2(1.0 + x), 0, 1)
+
+
+def _equalize(v: jnp.ndarray) -> jnp.ndarray:
+    """Exact 256-bin histogram equalization of (B, H, W) values in [0,1]."""
+    b, h, w = v.shape
+    bins = jnp.clip((v * 255.0).astype(jnp.int32), 0, 255).reshape(b, -1)
+    hist = jax.vmap(lambda q: jnp.bincount(q, length=256))(bins)
+    cdf = jnp.cumsum(hist, axis=-1).astype(jnp.float32)
+    cdf_min = jnp.take_along_axis(
+        cdf, jnp.argmax(hist > 0, axis=-1)[:, None], axis=1)
+    denom = jnp.maximum(cdf[:, -1:] - cdf_min, 1.0)
+    lut = jnp.clip((cdf - cdf_min) / denom, 0, 1)
+    return jnp.take_along_axis(lut, bins, axis=1).reshape(b, h, w)
+
+
+def op_histogram_equalization(key, x):
+    """iaa.HistogramEqualization(): equalize luminance, rescale RGB by the
+    luminance ratio (the reference equalizes L of Lab)."""
+    del key
+    y = _luma(x)[..., 0]
+    y_eq = _equalize(y)
+    ratio = (y_eq / jnp.maximum(y, 1e-3))[..., None]
+    return jnp.clip(x * ratio, 0, 1)
+
+
+def op_allchannels_histogram_equalization(key, x):
+    """iaa.AllChannelsHistogramEqualization(): per-RGB-channel equalize."""
+    del key
+    chans = [_equalize(x[..., c]) for c in range(3)]
+    return jnp.stack(chans, axis=-1)
+
+
+def op_clahe(key, x):
+    """iaa.CLAHE() — approximated by a 50% blend of luminance equalization
+    (clip-limited global, no 8x8 tiling; documented)."""
+    eq = op_histogram_equalization(key, x)
+    return 0.5 * x + 0.5 * eq
+
+
+def op_allchannels_clahe(key, x):
+    eq = op_allchannels_histogram_equalization(key, x)
+    return 0.5 * x + 0.5 * eq
+
+
+CONTRAST_OPS: List[Op] = [
+    op_gamma_contrast, op_linear_contrast, op_sigmoid_contrast,
+    op_log_contrast, op_histogram_equalization,
+    op_allchannels_histogram_equalization, op_clahe, op_allchannels_clahe,
+]
+
+
+# ------------------------------------------------------------------ weather
+# (augmentation_pipelines.py:189-202)
+
+def op_fog(key, x):
+    """iaa.Fog(): blend toward white with a smooth density field."""
+    k1, k2 = jax.random.split(key)
+    b, h, w, _ = x.shape
+    field = _smooth_field(k1, b, h, w, octaves=((2, 4), (4, 8)), method="cubic")
+    density = jnp.clip(field * 0.5 + _u(k2, b, 0.3, 0.7), 0, 1)
+    return x * (1 - density) + 1.0 * density
+
+
+def op_clouds(key, x):
+    """iaa.Clouds(): additive bright low-frequency layer."""
+    k1, k2 = jax.random.split(key)
+    b, h, w, _ = x.shape
+    field = jnp.clip(_smooth_field(k1, b, h, w, octaves=((2, 6), (4, 12)),
+                                   method="cubic"), 0, None)
+    amp = _u(k2, b, 0.2, 0.5)
+    return jnp.clip(x + field * amp, 0, 1)
+
+
+def op_snowflakes(key, x):
+    """iaa.Snowflakes(flake_size=(0.1,0.4), speed=(0.01,0.05)): sparse white
+    flakes with short fall streaks."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    b, h, w, _ = x.shape
+    density = _u(k1, b, 0.005, 0.03)
+    flakes = (jax.random.uniform(k2, (b, h, w, 1)) < density).astype(x.dtype)
+    # short vertical streak (speed): 3-tap smear downward
+    fp = jnp.pad(flakes, ((0, 0), (2, 0), (0, 0), (0, 0)))
+    streak = jnp.clip(fp[:, 2:] + 0.7 * fp[:, 1:h + 1] + 0.4 * fp[:, :h], 0, 1)
+    strength = _u(k3, b, 0.5, 0.9)
+    return jnp.clip(x + streak * strength, 0, 1)
+
+
+def op_rain(key, x):
+    """iaa.Rain(speed=(0.1,0.3)): sparse diagonal bright streaks."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    b, h, w, _ = x.shape
+    density = _u(k1, b, 0.002, 0.01)
+    drops = (jax.random.uniform(k2, (b, h, w, 1)) < density).astype(x.dtype)
+    dp = jnp.pad(drops, ((0, 0), (4, 0), (0, 4), (0, 0)))
+    streak = sum(dp[:, 4 - t:4 - t + h, 4 - t:4 - t + w] * (1 - 0.18 * t)
+                 for t in range(5))
+    streak = jnp.clip(streak, 0, 1)
+    alpha = _u(k3, b, 0.3, 0.6)
+    return jnp.clip(x + streak * alpha * 0.7, 0, 1)
+
+
+WEATHER_OPS: List[Op] = [op_fog, op_clouds, op_snowflakes, op_rain]
+
+
+# ------------------------------------------------------------------ misc
+
+def op_channel_shuffle(key, x, p=0.35):
+    """iaa.ChannelShuffle(0.35): with prob p permute RGB channels."""
+    k1, k2 = jax.random.split(key)
+    b = x.shape[0]
+    perm = jnp.argsort(jax.random.uniform(k1, (b, 3)), axis=-1)  # (B, 3)
+    shuffled = jnp.take_along_axis(x, perm[:, None, None, :], axis=-1)
+    gate = jax.random.bernoulli(k2, p, (b, 1, 1, 1))
+    return jnp.where(gate, shuffled, x)

@@ -9,12 +9,21 @@ exact: θ is the normalized inverse affine mapping view-2 grid coordinates
 back to the source frame, the same matrix fed to ``affine_grid``/
 ``grid_sample`` downstream (``dino_vision.py:72-77``).
 
-Families reproduced (severity-scaled like ``get_augmentation_pipeline``):
-additive/multiplicative noise, salt&pepper dropout, brightness/contrast,
-gamma, color channel jitter + temperature shift, grayscale mix, gaussian and
-motion blur, low-frequency intensity fields ("weather"), plus the geometric
-affine of the pretrain third view. Each op draws per-sample Bernoulli gates
-so a batch mixes augmented/identity samples exactly like iaa.Sometimes.
+The pipelines replicate the reference STRUCTURE exactly — the same
+Sometimes/OneOf tree with the same probabilities, and an op-for-op device
+equivalent of every imgaug op (``ccd_tpu/data/aug_ops.py``; the few
+documented approximations are listed in PARITY.md):
+
+* ``photometric_augment``  = severity-5 chain,
+  ``augmentation_pipelines.py:122-208``: Sometimes(0.2, Identity,
+  Sequential[arithmetic(OneOf-21), Sometimes(.7) color(OneOf-9),
+  Sometimes(.7) blur, Sometimes(.7) contrast(OneOf-8),
+  Sometimes(.7) weather(OneOf-4)])
+* ``supervised_augment``   = staged finetune chain,
+  ``dataset_pretrain.py:80-160`` (ViT-Small probabilities
+  [0.6, 0.8, 0.6, 0.6, 0.6])
+* ``abinet_augment``       = the use_abi CV family,
+  ``Dino/dataset/transforms.py:307-366``
 """
 
 from __future__ import annotations
@@ -53,26 +62,6 @@ def _blend(x, y, gate):
     return x * (1.0 - gate) + y * gate
 
 
-def _separable_blur(x: jnp.ndarray, sigma: jnp.ndarray, taps: int = 5) -> jnp.ndarray:
-    """Per-sample gaussian blur via two small depthwise convolutions.
-
-    sigma: (B, 1, 1, 1); a sigma of ~0 degrades to identity.
-    """
-    b, h, w, c = x.shape
-    r = taps // 2
-    offsets = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    sig = jnp.maximum(sigma[:, 0, 0, 0], 1e-3)[:, None]  # (B,1)
-    k = jnp.exp(-0.5 * (offsets[None, :] / sig) ** 2)
-    k = k / k.sum(axis=1, keepdims=True)  # (B, taps)
-
-    xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)), mode="edge")
-    rows = jnp.stack([xp[:, i:i + h] for i in range(taps)], axis=-1)  # (B,H,W,C,taps)
-    x = jnp.einsum("bhwct,bt->bhwc", rows, k)
-    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
-    cols = jnp.stack([xp[:, :, i:i + w] for i in range(taps)], axis=-1)
-    return jnp.einsum("bhwct,bt->bhwc", cols, k)
-
-
 def _motion_blur(x: jnp.ndarray, rng, strength: float) -> jnp.ndarray:
     """Random-direction 5-tap line blur (approximates iaa.MotionBlur)."""
     b, h, w, c = x.shape
@@ -85,62 +74,39 @@ def _motion_blur(x: jnp.ndarray, rng, strength: float) -> jnp.ndarray:
     return x * (1.0 - strength) + blurred * strength
 
 
-def _low_freq_field(rng, b, h, w, amp) -> jnp.ndarray:
-    """Smooth per-sample intensity field (fog/cloud-style 'weather')."""
-    coarse = jax.random.uniform(rng, (b, 4, 8, 1), minval=-1.0, maxval=1.0)
-    up = jax.image.resize(coarse, (b, h, w, 1), method="linear")
-    return up * amp
-
-
 def photometric_augment(rng: jnp.ndarray, images: jnp.ndarray,
                         severity: int = 5) -> jnp.ndarray:
-    """Severity-scaled photometric chain on (B, H, W, 3) float [0,1] images.
+    """The severity-5 photometric chain on (B, H, W, 3) float [0,1] images.
 
-    Mirrors iaa Sometimes(0.2, Identity, Sequential[noise, color, blur,
-    contrast, weather]) at severity 5: 80% of samples get the chain, each
-    family gated per-sample.
+    Exact structure of ``get_augmentation_pipeline(5)``
+    (``augmentation_pipelines.py:122-208``)::
+
+        Sometimes(0.2, Identity, Sequential[
+            OneOf(21 arithmetic ops),            # always applied
+            Sometimes(0.7, OneOf(9 color ops)),
+            Sometimes(0.7, OneOf[Sharpen, OneOf(5 blurs)]),
+            Sometimes(0.7, OneOf(8 contrast ops)),
+            Sometimes(0.7, OneOf(4 weather ops)),
+        ])
+
+    Severities other than 5 are unused by the shipped configs; they reuse
+    this chain with the family probability scaled by severity/5 (documented
+    approximation — the reference's severity 1-4 chains are simpler subsets).
     """
-    b, h, w, _ = images.shape
-    s = severity / 5.0
-    keys = jax.random.split(rng, 16)
+    from ccd_tpu.data import aug_ops as A
+    b = images.shape[0]
+    p_fam = 0.7 * min(severity / 5.0, 1.0)
+    keys = jax.random.split(rng, 6)
     x = images
-
-    # --- arithmetic noise
-    noise = jax.random.normal(keys[0], x.shape) * _per_sample(keys[1], b, 0.0, 0.08 * s)
-    x = _blend(x, jnp.clip(x + noise, 0, 1), _gate(keys[2], b, 0.5))
-    # salt & pepper dropout
-    sp = jax.random.uniform(keys[3], (b, h, w, 1))
-    amount = 0.02 * s
-    x_sp = jnp.where(sp < amount / 2, 0.0, jnp.where(sp > 1 - amount / 2, 1.0, x))
-    x = _blend(x, x_sp, _gate(keys[4], b, 0.3))
-
-    # --- color
-    chan_mul = jax.random.uniform(keys[5], (b, 1, 1, 3), minval=1 - 0.25 * s,
-                                  maxval=1 + 0.25 * s)
-    x = _blend(x, jnp.clip(x * chan_mul, 0, 1), _gate(keys[6], b, 0.5))
-    gray = jnp.mean(x, axis=-1, keepdims=True)
-    gray_mix = _per_sample(keys[7], b, 0.0, 0.6 * s)
-    x = _blend(x, x * (1 - gray_mix) + gray * gray_mix, _gate(keys[8], b, 0.3))
-
-    # --- blur
-    sigma = _per_sample(keys[9], b, 0.0, 1.2 * s)
-    x = _blend(x, _separable_blur(x, sigma), _gate(keys[10], b, 0.4))
-    x = _blend(x, _motion_blur(x, keys[11], 0.8), _gate(keys[12], b, 0.2))
-
-    # --- contrast / gamma
-    gamma = _per_sample(keys[13], b, 1 - 0.4 * s, 1 + 0.4 * s)
-    contrast = _per_sample(keys[14], b, 1 - 0.4 * s, 1 + 0.4 * s)
-    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-    x_c = jnp.clip((x - mean) * contrast + mean, 0, 1) ** jnp.maximum(gamma, 0.1)
-    x = _blend(x, x_c, _gate(keys[15], b, 0.5))
-
-    # --- weather (low-frequency brightness field)
-    field = _low_freq_field(jax.random.fold_in(rng, 101), b, h, w, 0.15 * s)
-    x = _blend(x, jnp.clip(x + field, 0, 1),
-               _gate(jax.random.fold_in(rng, 102), b, 0.3))
-
+    x = A.one_of(keys[0], x, A.ARITHMETIC_OPS)
+    x = A.sometimes(keys[1], x, p_fam, lambda k, y: A.one_of(k, y, A.COLOR_OPS))
+    x = A.sometimes(keys[2], x, p_fam, A.blur_family)
+    x = A.sometimes(keys[3], x, p_fam,
+                    lambda k, y: A.one_of(k, y, A.CONTRAST_OPS))
+    x = A.sometimes(keys[4], x, p_fam,
+                    lambda k, y: A.one_of(k, y, A.WEATHER_OPS))
     # iaa.Sometimes(0.2, Identity, <chain>): 20% keep the original
-    keep = _gate(jax.random.fold_in(rng, 103), b, 0.2)
+    keep = _gate(keys[5], b, 0.2)
     return _blend(x, images, keep)
 
 
@@ -284,76 +250,60 @@ def _random_perspective(rng, b, h, w, distortion: float = 0.3) -> jnp.ndarray:
 
 @jax.jit
 def supervised_augment(rng: jnp.ndarray, images: jnp.ndarray) -> jnp.ndarray:
-    """Finetune-time augmentation chain on (B, H, W, 3) float [0,1] images.
+    """Finetune-time staged chain on (B, H, W, 3) float [0,1] images.
 
-    Mirrors the staged iaa pipeline of ``dataset_pretrain.py:80-160``:
-    Sometimes(0.6) invert(0.1); Sometimes(0.8) OneOf[noise/color family];
-    Sometimes(0.6) OneOf[sharpen/blur]; Sometimes(0.6) OneOf[contrast];
-    Sometimes(0.6) OneOf[affine / piecewise-affine / rotate±45] — each family
-    reimplemented as batched device ops with per-sample selection.
+    Exact structure of the non-abi pipeline (``dataset_pretrain.py:80-160``,
+    ViT-Small probabilities [0.6, 0.8, 0.6, 0.6, 0.6])::
+
+        Sequential[
+            Sometimes(0.6, Invert(0.1)),
+            Sometimes(0.8, OneOf(35 noise/color/weather ops)),
+            Sometimes(0.6, OneOf[Sharpen, OneOf(4 blurs)]),
+            Sometimes(0.6, OneOf(8 contrast ops)),
+            Sometimes(0.6, OneOf[Affine, PiecewiseAffine(0.01-0.1),
+                                 Rotate(-45, 45)]),
+        ]
     """
+    from ccd_tpu.data import aug_ops as A
     from ccd_tpu.ops.warp import affine_grid, grid_sample
     b, h, w, _ = images.shape
-    keys = jax.random.split(rng, 24)
+    keys = jax.random.split(rng, 10)
     x = images
 
     # stage 1: Sometimes(0.6, Invert(0.1)) -> effective p = 0.06
-    x = _blend(x, 1.0 - x, _gate(keys[0], b, 0.06))
+    x = A.sometimes(keys[0], x, 0.6, A.op_invert)
 
-    # stage 2 (p=0.8): one of the noise/color family
-    noise_g = jax.random.normal(keys[1], x.shape) * _per_sample(keys[2], b, 0.0, 0.2)
-    cand0 = jnp.clip(x + noise_g, 0, 1)                                   # gaussian noise
-    sp = jax.random.uniform(keys[3], (b, h, w, 1))
-    cand1 = jnp.where(sp < 0.05, 0.0, jnp.where(sp > 0.95, 1.0, x))       # salt&pepper
-    mul = jax.random.uniform(keys[4], (b, 1, 1, 3), minval=0.5, maxval=1.5)
-    cand2 = jnp.clip(x * mul, 0, 1)                                       # multiply/channel
-    gray = jnp.mean(x, -1, keepdims=True)
-    alpha_g = _per_sample(keys[5], b, 0.0, 1.0)
-    cand3 = x * (1 - alpha_g) + gray * alpha_g                            # grayscale
-    thresh = _per_sample(keys[6], b, 32 / 255, 128 / 255)
-    cand4 = jnp.where(x >= thresh, 1.0 - x, x)                            # solarize
-    drop = (jax.random.uniform(keys[7], (b, h // 4, w // 4, 1)) > 0.02)
-    cand5 = x * jax.image.resize(drop.astype(x.dtype), (b, h, w, 1), "nearest")  # coarse dropout
-    field = _low_freq_field(keys[8], b, h, w, 0.3)
-    cand6 = jnp.clip(x + field, 0, 1)                                     # fog/clouds
-    shift = jax.random.uniform(keys[9], (b, 1, 1, 3), minval=-0.2, maxval=0.2)
-    cand7 = jnp.clip(x + shift, 0, 1)                                     # color temp/add
-    choice = jax.random.randint(keys[10], (b, 1, 1, 1), 0, 8)
-    cands = jnp.stack([cand0, cand1, cand2, cand3, cand4, cand5, cand6, cand7])
-    picked = jnp.take_along_axis(cands, choice[None], axis=0)[0]
-    x = _blend(x, picked, _gate(keys[11], b, 0.8))
+    # stage 2 (p=0.8): OneOf over the big arithmetic+color+weather union
+    # (dataset_pretrain.py:85-127 — Invert is NOT in this OneOf)
+    stage2_ops = ([A.op_channel_shuffle]
+                  + [op for op in A.ARITHMETIC_OPS if op is not A.op_invert]
+                  + [A.COLOR_OPS[0], A.op_multiply_brightness]
+                  + A.COLOR_OPS[1:] + A.WEATHER_OPS)
+    x = A.sometimes(keys[1], x, 0.8, lambda k, y: A.one_of(k, y, stage2_ops))
 
-    # stage 3 (p=0.6): sharpen or blur
-    sigma = _per_sample(keys[12], b, 0.5, 1.5)
-    blurred = _separable_blur(x, sigma)
-    alpha_s = _per_sample(keys[13], b, 0.0, 0.5)
-    sharpened = jnp.clip(x + alpha_s * (x - blurred), 0, 1)
-    use_sharpen = _gate(keys[14], b, 0.5)
-    stage3 = _blend(blurred, sharpened, use_sharpen)
-    x = _blend(x, stage3, _gate(keys[15], b, 0.6))
+    # stage 3 (p=0.6): OneOf[Sharpen, OneOf(4 blurs)] — no BilateralBlur here
+    x = A.sometimes(keys[2], x, 0.6,
+                    lambda k, y: A.blur_family(k, y, kinds=A.BLUR_KINDS))
 
-    # stage 4 (p=0.6): contrast (gamma / linear / log-ish)
-    gamma = _per_sample(keys[16], b, 0.5, 2.0)
-    lin = _per_sample(keys[17], b, 0.5, 1.0)
-    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-    c_gamma = jnp.clip(x, 1e-6, 1.0) ** gamma
-    c_lin = jnp.clip((x - mean) * lin + mean, 0, 1)
-    pickc = _gate(keys[18], b, 0.5)
-    stage4 = _blend(c_gamma, c_lin, pickc)
-    x = _blend(x, stage4, _gate(keys[19], b, 0.6))
+    # stage 4 (p=0.6): OneOf(8 contrast ops)
+    x = A.sometimes(keys[3], x, 0.6,
+                    lambda k, y: A.one_of(k, y, A.CONTRAST_OPS))
 
-    # stage 5 (p=0.6): geometry — affine / elastic / big rotate
-    theta_aff = _random_affine_matrix(keys[20], b, h, w)
-    theta_rot = _random_affine_matrix(keys[21], b, h, w, scale=(1.0, 1.0),
+    # stage 5 (p=0.6): OneOf[Affine(same params as pretrain view 2),
+    #                        PiecewiseAffine(scale 0.01-0.1), Rotate(-45,45)]
+    theta_aff = _random_affine_matrix(keys[4], b, h, w)
+    theta_rot = _random_affine_matrix(keys[5], b, h, w, scale=(1.0, 1.0),
                                       translate=0.0, rotate=45.0, shear_x=0.0,
                                       shear_y=0.0)
-    which = jax.random.randint(keys[22], (b,), 0, 3)
+    which = jax.random.randint(keys[6], (b,), 0, 3)
     theta = jnp.where((which == 0)[:, None, None], theta_aff, theta_rot)
     grid_aff = affine_grid(theta[:, :2, :], (h, w))
-    grid_el = _elastic_grid(jax.random.fold_in(rng, 77), b, h, w, 0.05)
+    pw_scale = jax.random.uniform(keys[7], (b, 1, 1, 1), minval=0.01,
+                                  maxval=0.1) * 2.0  # fraction of [-1,1] span
+    grid_el = _elastic_grid(keys[8], b, h, w, pw_scale)
     grid = jnp.where((which == 1)[:, None, None, None], grid_el, grid_aff)
     warped = grid_sample(x, grid)
-    x = _blend(x, warped, _gate(keys[23], b, 0.6))
+    x = _blend(x, warped, _gate(keys[9], b, 0.6))
     return x
 
 
