@@ -16,6 +16,8 @@ import re
 import time
 from typing import Callable, Dict, Iterable, List, Sequence, Tuple
 
+import numpy as np
+
 from ccd_tpu.evaluation.editdistance import levenshtein
 
 _NORMALIZE = re.compile("[^A-Z^a-z^0-9^一-龥]")
@@ -53,6 +55,38 @@ class TextAccuracy:
                 if a == b:
                     self.correct_num_char += 1
             self.total_num_char += len(gt)
+
+    def merge(self, other: "TextAccuracy") -> None:
+        """Fold another accumulator's counters into this one (counters sum;
+        inference time takes the max — shards run concurrently)."""
+        self.total_num_char += other.total_num_char
+        self.total_num_word += other.total_num_word
+        self.correct_num_char += other.correct_num_char
+        self.correct_num_word += other.correct_num_word
+        self.total_ed += other.total_ed
+        self.total_ned += other.total_ned
+        self.inference_time = max(self.inference_time, other.inference_time)
+
+    def synchronize_between_processes(self) -> None:
+        """Sum counters over all JAX processes (parity: the reference's meter
+        ``dist.all_reduce``, ``Dino/modules/utils.py:253-264``); no-op on a
+        single process."""
+        import jax
+        if jax.process_count() == 1:
+            return
+        import jax.numpy as jnp
+        from jax.experimental.multihost_utils import process_allgather
+        arr = jnp.asarray([self.total_num_char, self.total_num_word,
+                           self.correct_num_char, self.correct_num_word,
+                           self.total_ed, self.total_ned, self.inference_time],
+                          jnp.float64 if jax.config.jax_enable_x64
+                          else jnp.float32)
+        gathered = np.asarray(process_allgather(arr))
+        summed = gathered.sum(0)
+        (self.total_num_char, self.total_num_word, self.correct_num_char,
+         self.correct_num_word, self.total_ed, self.total_ned) = \
+            [float(v) for v in summed[:6]]
+        self.inference_time = float(gathered[:, 6].max())
 
     def result(self) -> Dict[str, float]:
         mets = [

@@ -4,10 +4,23 @@ Parity target: ``test.py:150-218`` + ``TextAccuracy.compute`` — per-benchmark
 word accuracy over LMDB evaluation sets with a weighted total. The decode is
 the KV-cached scan (vs the reference's 25x full-decoder re-run) jitted once at
 a fixed batch size; ragged final batches are padded and sliced.
+
+TPU-native improvements over the reference runner:
+
+* the jitted decode is a module-level function taking ``params`` as an
+  argument (not a per-call closure), so periodic eval cycles inside the
+  finetune loop reuse one compiled executable instead of retracing — through
+  this TPU's remote-compile tunnel a retrace costs minutes;
+* under ``jax.process_count() > 1`` each process evaluates a disjoint shard
+  of every benchmark and the ``TextAccuracy`` counters are summed across
+  processes (parity: the reference's meter ``all_reduce``,
+  ``Dino/modules/utils.py:253-264``) — the reference instead replicates the
+  full eval on every rank.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -21,22 +34,35 @@ from ccd_tpu.data.pipeline import DataLoader
 from ccd_tpu.evaluation.accuracy import TextAccuracy
 
 
-def make_predict_fn(model, params, convertor: AttnConvertor,
-                    batch_size: int = 288) -> Callable[[np.ndarray], List[str]]:
-    """Build ``fn(uint8 images (N, H, W, 3)) -> list[str]`` (greedy decode)."""
+@partial(jax.jit, static_argnums=(0, 3))
+def _decode(model, params, images: jnp.ndarray, test_speed: bool) -> jnp.ndarray:
+    """uint8 (N, H, W, 3) -> per-step softmax (N, T, C-1).
 
-    @jax.jit
-    def _decode(images: jnp.ndarray) -> jnp.ndarray:
-        x = images.astype(jnp.float32) / 255.0
-        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        return model.apply({"params": params}, x, train_mode=False)
+    ``model`` is an unbound flax module (hashable dataclass), so repeated
+    calls with the same model/batch shape hit jax.jit's cache.
+    """
+    x = images.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return model.apply({"params": params}, x, train_mode=False,
+                       test_speed=test_speed)
+
+
+def make_predict_fn(model, params, convertor: AttnConvertor,
+                    batch_size: int = 288, test_speed: bool = False
+                    ) -> Callable[[np.ndarray], List[str]]:
+    """Build ``fn(uint8 images (N, H, W, 3)) -> list[str]`` (greedy decode).
+
+    ``test_speed=True`` routes through the early-exit decode
+    (``forward_test_speed``, ``Dino/decoder/nrtr_decoder.py:177-203``).
+    """
 
     def predict(images: np.ndarray) -> List[str]:
         n = images.shape[0]
         if n < batch_size:
             pad = np.repeat(images[-1:], batch_size - n, axis=0)
             images = np.concatenate([images, pad], axis=0)
-        probs = np.asarray(_decode(jnp.asarray(images)))[:n]
+        probs = np.asarray(_decode(model, params, jnp.asarray(images),
+                                   test_speed))[:n]
         indexes, _scores = convertor.tensor2idx(probs)
         return convertor.idx2str(indexes)
 
@@ -48,12 +74,22 @@ def evaluate_benchmarks(model, params, test_roots: Sequence[str],
                         charset_type: str = "DICT90",
                         case_sensitive: bool = False,
                         num_workers: int = 4,
-                        names: Optional[Sequence[str]] = None
+                        names: Optional[Sequence[str]] = None,
+                        test_speed: bool = False,
+                        process_index: Optional[int] = None,
+                        process_count: Optional[int] = None,
                         ) -> Tuple[List[Dict[str, float]], float]:
-    """Run the 11-benchmark-style eval; returns (per-set metrics, weighted acc)."""
+    """Run the 11-benchmark-style eval; returns (per-set metrics, weighted acc).
+
+    With multiple JAX processes each evaluates its shard and counters are
+    summed (``TextAccuracy.synchronize_between_processes``), so the returned
+    metrics cover the full benchmark on every process.
+    """
+    pidx = jax.process_index() if process_index is None else process_index
+    pcnt = jax.process_count() if process_count is None else process_count
     convertor = AttnConvertor(dict_type=charset_type, max_seq_len=max_seq_len,
                               with_unknown=True)
-    predict = make_predict_fn(model, params, convertor, batch_size)
+    predict = make_predict_fn(model, params, convertor, batch_size, test_speed)
     results = []
     total_acc = 0.0
     total_words = 0.0
@@ -61,10 +97,13 @@ def evaluate_benchmarks(model, params, test_roots: Sequence[str],
         ds = build_dataset(SupervisedDataset, [root], is_training=False,
                            convertor=convertor, max_seq_len=max_seq_len)
         loader = DataLoader(ds, batch_size=batch_size, shuffle=False,
-                            drop_last=False, num_workers=num_workers)
+                            drop_last=False, num_workers=num_workers,
+                            process_index=pidx, process_count=pcnt)
         acc = TextAccuracy(case_sensitive=case_sensitive)
-        res = acc.compute(lambda imgs: predict(imgs),
-                          ((images, texts) for images, _targets, texts in loader))
+        acc.compute(lambda imgs: predict(imgs),
+                    ((images, texts) for images, _targets, texts in loader))
+        acc.synchronize_between_processes()
+        res = acc.result()
         res["name"] = names[i] if names else str(root)
         results.append(res)
         total_acc += res["cwr"] * res["words"]

@@ -25,7 +25,13 @@ def _parse_arguments():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--test_root", type=str, default=None)
     p.add_argument("--checkpoint", type=str, default=None)
-    p.add_argument("--model_eval", type=str, default="vision")
+    p.add_argument("--model_eval", type=str, default="vision",
+                   choices=["vision", "language", "alignment"],
+                   help="evaluated output head (reference eval_acc.py:16; "
+                        "this model family only produces 'vision')")
+    p.add_argument("--test_speed", action="store_true",
+                   help="use the early-exit greedy decode "
+                        "(forward_test_speed, nrtr_decoder.py:177-203)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="evaluate on N freshly generated synthetic samples")
     return p.parse_args()
@@ -47,12 +53,8 @@ def main():
     logging.info(config)
 
     import jax
-    try:
-        jax.config.update('jax_compilation_cache_dir', os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
-    except Exception:
-        pass
+    from ccd_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache(__file__)
     from ccd_tpu.builders import build_recognizer, load_recognizer_params
     from ccd_tpu.evaluation.runner import evaluate_benchmarks
 
@@ -81,7 +83,8 @@ def main():
         model, params, test_roots, batch_size=batch,
         max_seq_len=config.decoder_max_seq_len,
         charset_type=config.dataset_charset_type or "DICT90",
-        case_sensitive=bool(config.dataset_eval_case_sensitive))
+        case_sensitive=bool(config.dataset_eval_case_sensitive),
+        test_speed=args.test_speed)
 
     dashed = "-" * 80
     print(dashed)

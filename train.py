@@ -17,7 +17,9 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import math
 import os
+import sys
 import tempfile
 import time
 
@@ -54,12 +56,8 @@ def main():
 
     import numpy as np
     import jax
-    try:
-        jax.config.update('jax_compilation_cache_dir', os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
-    except Exception:
-        pass
+    from ccd_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache(__file__)
     import jax.numpy as jnp
 
     # multi-host initialization when launched under a JAX coordinator
@@ -73,7 +71,8 @@ def main():
     from ccd_tpu.data.pipeline import DataLoader, infinite_batches
     from ccd_tpu.losses import teacher_temp_schedule
     from ccd_tpu.parallel import data_mesh, replicated_sharding, shard_batch
-    from ccd_tpu.training import init_pretrain_state, make_pretrain_step
+    from ccd_tpu.training import (init_pretrain_state, make_pretrain_step,
+                                  pretrain_state_payload)
 
     # ------------------------------------------------------------ data
     if args.synthetic:
@@ -142,15 +141,7 @@ def main():
     manager = CheckpointManager(ckpt_dir, max_to_keep=3,
                                 keep_period=int(config.saveckp_freq or 10))
 
-    # checkpoint payload mirrors the reference's
-    # {student, teacher, optimizer, epoch/iteration, dino_loss-center}
-    # (train.py:197-207); the rng key is re-derived on resume.
-    def state_payload(s):
-        return {"student_params": s.student_params,
-                "student_stats": s.student_stats,
-                "teacher_params": s.teacher_params,
-                "opt_state": s.opt_state,
-                "center": s.center, "iteration": s.iteration}
+    state_payload = pretrain_state_payload
 
     latest = manager.latest_step()
     if latest is not None:
@@ -212,6 +203,13 @@ def main():
 
         if iteration % int(config.training_show_iters or 200) == 0:
             metrics = jax.device_get(metrics)  # sync point (logging only)
+            # NaN-loss abort (reference train.py:239-241). Checked at the
+            # existing logging sync point rather than every step so the abort
+            # costs no extra host<->device round-trips.
+            if not math.isfinite(float(metrics["loss"])):
+                logging.error(f"Loss is {float(metrics['loss'])}, "
+                              "stopping training")
+                sys.exit(1)
             metric_logger.update(loss=float(metrics["loss"]),
                                  lr=float(metrics["lr"]), wd=float(metrics["wd"]))
             ips = batch_size * (iteration + 1) / (time.time() - start)

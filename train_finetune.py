@@ -90,12 +90,8 @@ def main():
 
     import numpy as np
     import jax
-    try:
-        jax.config.update('jax_compilation_cache_dir', os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
-    except Exception:
-        pass
+    from ccd_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache(__file__)
     import jax.numpy as jnp
 
     # multi-host initialization when launched under a JAX coordinator
@@ -159,18 +155,34 @@ def main():
             config.model_checkpoint, model, state.params))
 
     # ------------------------------------------------------------ eval-only
-    def run_eval():
+    eval_log_dir = os.path.join(str(config.output_dir or "./saved_models/"),
+                                str(config.global_name))
+
+    def run_eval(iteration=None):
         results, weighted = evaluate_benchmarks(
             model, state.params, list(config.dataset_test_roots or []),
             batch_size=int(config.dataset_test_batch_size or batch_size),
             max_seq_len=max_seq_len,
             charset_type=config.dataset_charset_type or "DICT90",
             case_sensitive=bool(config.dataset_eval_case_sensitive))
+        # per-benchmark eval log file (reference train_finetune.py:352-371)
+        evaluation_log = ""
+        if iteration is not None:
+            evaluation_log += f"iteration: {iteration} \n"
         for res in results:
-            logging.info(f"dataset: {os.path.basename(str(res['name']))} --> "
-                         f"word_num: {int(res['words'])} --> "
-                         f"accuracy: {res['cwr']:0.3f}")
+            line = (f"dataset: {os.path.basename(str(res['name']))} --> "
+                    f"word_num: {int(res['words'])} --> "
+                    f"accuracy: {res['cwr']:0.3f}")
+            logging.info(line)
+            evaluation_log += line + "\n"
         logging.info(f"total_accuracy: {weighted:0.3f}")
+        evaluation_log += f"total_accuracy: {weighted:0.3f}"
+        if jax.process_index() == 0:
+            os.makedirs(eval_log_dir, exist_ok=True)
+            with open(os.path.join(eval_log_dir,
+                                   "log_all_evaluation.txt"), "a") as log:
+                log.write("-" * 80 + "\n")
+                log.write(evaluation_log + "\n")
         return weighted
 
     if args.run_only_test:
@@ -257,7 +269,7 @@ def main():
 
         if iteration and iteration % int(config.training_eval_iters or 3000) == 0:
             logging.info("eval model")
-            acc = run_eval()
+            acc = run_eval(iteration)
             if writer:
                 writer.add_scalar("metric/eval_acc", acc, iteration)
             if acc >= best_accuracy:
@@ -271,7 +283,7 @@ def main():
                                      "iteration": iteration})
 
     # final eval + save
-    acc = run_eval()
+    acc = run_eval(n_steps)
     manager.save(n_steps, {"params": state.params, "iteration": n_steps})
     manager.wait()
     logging.info(f"done: final accuracy {acc:0.3f}, best {max(best_accuracy, acc):0.3f}")
