@@ -49,11 +49,10 @@ def main():
 
     import jax.numpy as jnp
 
-    from ccd_tpu.data.augment import pretrain_views
     from ccd_tpu.data.synthetic import make_synthetic_batch
     from ccd_tpu.losses import teacher_temp_schedule
     from ccd_tpu.models import CCDPretrainModel
-    from ccd_tpu.training import init_pretrain_state, make_pretrain_step
+    from ccd_tpu.training import init_pretrain_state, make_fused_pretrain_step
 
     if args.eval:
         return bench_eval(args)
@@ -69,8 +68,11 @@ def main():
     teacher = CCDPretrainModel(arch=arch, out_dim=out_dim, with_seg_head=False,
                                dtype=dtype)
     state, tx = init_pretrain_state(jax.random.PRNGKey(0), student, teacher)
-    step = make_pretrain_step(
-        student, teacher, tx,
+    # fused: 3-view augmentation + train step in ONE compiled program — one
+    # dispatch per iteration (per-iteration host->device round-trips through
+    # the remote-compile tunnel cost more than the aug compute itself)
+    step = make_fused_pretrain_step(
+        student, teacher, tx, severity=5,
         base_lr=5e-4 * batch / 256.0, min_lr=1e-6, total_iters=100_000,
         warmup_iters=1000, weight_decay=0.04, weight_decay_end=0.4,
         momentum_teacher=0.9995,
@@ -79,27 +81,21 @@ def main():
         imgnet_based=1_000_000)
 
     jstep = jax.jit(step, donate_argnums=(0,))
-    jviews = jax.jit(pretrain_views, static_argnames=("severity",))
 
     images_u8, masks, _ = make_synthetic_batch(batch, seed=0)
     raw = jnp.asarray(images_u8, jnp.float32) / 255.0
     masks_d = jnp.asarray(masks)
-    rng = jax.random.PRNGKey(1)
 
     # warmup / compile. Synchronize via device_get (host transfer of a value
     # data-dependent on the last step) — block_until_ready is unreliable on
     # some PJRT tunnels.
     for i in range(3):
-        rng, k = jax.random.split(rng)
-        views, theta = jviews(k, raw, severity=5)
-        state, metrics = jstep(state, views, masks_d, theta)
+        state, metrics = jstep(state, raw, masks_d)
     float(jax.device_get(metrics["loss"]))
 
     start = time.perf_counter()
     for i in range(args.steps):
-        rng, k = jax.random.split(rng)
-        views, theta = jviews(k, raw, severity=5)
-        state, metrics = jstep(state, views, masks_d, theta)
+        state, metrics = jstep(state, raw, masks_d)
     float(jax.device_get(metrics["loss"]))
     elapsed = time.perf_counter() - start
 

@@ -87,17 +87,15 @@ def _rgb_to_hsv(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    # branch-free "K-function" formulation — pure VPU arithmetic (jnp.choose
+    # lowers to slow per-element selects/gathers on TPU)
     h, s, v = hsv[..., 0] % 1.0, hsv[..., 1], hsv[..., 2]
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1 - s)
-    q = v * (1 - f * s)
-    t = v * (1 - (1 - f) * s)
-    i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
-    return jnp.stack([r, g, b], axis=-1)
+
+    def chan(n):
+        k = (n + h * 6.0) % 6.0
+        return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.stack([chan(5.0), chan(3.0), chan(1.0)], axis=-1)
 
 
 def _luma(x: jnp.ndarray) -> jnp.ndarray:
@@ -145,11 +143,17 @@ def op_additive_laplace(key, x, scale_max=0.2):
 
 
 def op_additive_poisson(key, x, lam_max=40.0):
-    """iaa.AdditivePoissonNoise(lam=(0, 40)): adds Poisson(lam)/255 samples."""
+    """iaa.AdditivePoissonNoise(lam=(0, 40)): adds Poisson(lam)/255 samples.
+
+    Poisson counts are approximated by round(clip(N(lam, lam), 0)) — matched
+    mean/variance, indistinguishable as image noise for lam in this range —
+    because jax.random.poisson supports only the threefry PRNG and its
+    rejection sampler is slow on TPU (documented approximation)."""
     k1, k2 = jax.random.split(key)
     b, h, w, _ = x.shape
     lam = jnp.maximum(_u(k1, b, 0.0, lam_max), 1e-3)
-    noise = jax.random.poisson(k2, jnp.broadcast_to(lam, (b, h, w, 1)))
+    noise = jnp.round(jnp.maximum(
+        lam + jnp.sqrt(lam) * jax.random.normal(k2, (b, h, w, 1)), 0.0))
     return jnp.clip(x + noise.astype(x.dtype) / 255.0, 0, 1)
 
 
@@ -491,7 +495,9 @@ def op_kmeans_color_quantization(key, x, n_iters=4):
     centers, _ = jax.lax.scan(lloyd, centers, None, length=n_iters)
     d = jnp.sum((flat[:, :, None] - centers[:, None]) ** 2, -1)
     d = jnp.where(slot_ok[:, None], d, jnp.inf)
-    out = jnp.take_along_axis(centers, jnp.argmin(d, -1)[..., None], axis=1)
+    # center lookup as a one-hot matmul (a per-pixel gather is slow on TPU)
+    assign = jax.nn.one_hot(jnp.argmin(d, -1), kmax)
+    out = jnp.einsum("bpk,bkc->bpc", assign, centers)
     del k3
     return out.reshape(b, h, w, c)
 
@@ -673,16 +679,22 @@ def op_log_contrast(key, x):
 
 
 def _equalize(v: jnp.ndarray) -> jnp.ndarray:
-    """Exact 256-bin histogram equalization of (B, H, W) values in [0,1]."""
+    """Exact 256-bin histogram equalization of (B, H, W) values in [0,1].
+
+    Histogram and LUT lookup are both one-hot matmuls (MXU work) — vmapped
+    bincount lowers to per-image scatter-adds and the LUT lookup to gathers,
+    both pathologically slow on TPU."""
     b, h, w = v.shape
     bins = jnp.clip((v * 255.0).astype(jnp.int32), 0, 255).reshape(b, -1)
-    hist = jax.vmap(lambda q: jnp.bincount(q, length=256))(bins)
-    cdf = jnp.cumsum(hist, axis=-1).astype(jnp.float32)
+    oh = jax.nn.one_hot(bins, 256, dtype=jnp.float32)      # (B, P, 256)
+    hist = oh.sum(axis=1)
+    cdf = jnp.cumsum(hist, axis=-1)
     cdf_min = jnp.take_along_axis(
         cdf, jnp.argmax(hist > 0, axis=-1)[:, None], axis=1)
     denom = jnp.maximum(cdf[:, -1:] - cdf_min, 1.0)
-    lut = jnp.clip((cdf - cdf_min) / denom, 0, 1)
-    return jnp.take_along_axis(lut, bins, axis=1).reshape(b, h, w)
+    lut = jnp.clip((cdf - cdf_min) / denom, 0, 1)          # (B, 256)
+    out = jnp.einsum("bpk,bk->bp", oh, lut)                # LUT via matmul
+    return out.reshape(b, h, w)
 
 
 def op_histogram_equalization(key, x):

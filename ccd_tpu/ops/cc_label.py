@@ -70,9 +70,20 @@ def _propagate(lbl2d: jnp.ndarray, fg2d: jnp.ndarray, big: int,
     return out
 
 
-@partial(jax.jit, static_argnames=("num_slots", "min_area", "n_pool"))
+def _order_slots(sel_c, mean_x, valid):
+    """Sort kept slots left-to-right by mean column (DBSCAN.py:93-95).
+
+    sel_c: (B, S) raster root indices (clamped); mean_x: (B, S) with inf for
+    invalid; valid: (B, S). Returns (sel_sorted, valid_sorted)."""
+    order = jnp.argsort(jnp.where(valid, mean_x, jnp.inf), axis=1, stable=True)
+    return (jnp.take_along_axis(sel_c, order, axis=1),
+            jnp.take_along_axis(valid, order, axis=1))
+
+
+@partial(jax.jit, static_argnames=("num_slots", "min_area", "n_pool",
+                                   "fast_k"))
 def label_clusters(masks: jnp.ndarray, num_slots: int = 26, min_area: int = 30,
-                   n_pool: int = 32) -> jnp.ndarray:
+                   n_pool: int = 32, fast_k: int = 64) -> jnp.ndarray:
     """Batched glyph labeling: (B, H, W) {0,1} masks -> (B, num_slots, H, W).
 
     Channel ``s`` is the one-hot support of the s-th surviving character
@@ -80,10 +91,19 @@ def label_clusters(masks: jnp.ndarray, num_slots: int = 26, min_area: int = 30,
     target: ``label_cluster()(mask)`` (``Dino/utils/DBSCAN.py:61-103``) —
     exact on arbitrary masks, including noisy predicted masks with any
     number of sub-threshold components (fuzz-tested vs a BFS reference).
+
+    Component statistics come from one of two exact paths chosen at runtime
+    by ``lax.cond``: when every image has <= ``fast_k`` components (the
+    overwhelmingly common case for both GT and predicted masks), per-root
+    area/mean-x are computed with VPU compare-sums over the first ``fast_k``
+    raster roots (~0.5 ms); otherwise a batched ``segment_sum`` covers ALL
+    components (a scatter-add, ~6-7 ms on TPU — the price of >64-speck
+    masks, paid only when they occur).
     """
     b, h, w = masks.shape
     hw = h * w
     big = hw  # sentinel larger than any real label
+    s_slots = num_slots
 
     fg2d = masks > 0.5
     idx2d = jnp.broadcast_to(
@@ -93,36 +113,53 @@ def label_clusters(masks: jnp.ndarray, num_slots: int = 26, min_area: int = 30,
     flat_lbl = lbl2d.reshape(b, hw)
     flat_fg = fg2d.reshape(b, hw)
     flat_idx = jnp.arange(hw, dtype=jnp.int32)[None, :]
-
-    # --- per-component (area, sum-of-columns) for ALL components in one
-    # batched scatter-add; component id == its root's raster index
-    cols = (jnp.arange(hw, dtype=jnp.int32) % w).astype(jnp.float32)
-    data = jnp.stack([flat_fg.astype(jnp.float32),
-                      flat_fg.astype(jnp.float32) * cols[None, :]], axis=-1)
-    sums = jax.vmap(
-        lambda l, d: jax.ops.segment_sum(d, l, num_segments=hw))(flat_lbl, data)
-    areas = sums[..., 0]                                   # (B, HW)
-    sum_x = sums[..., 1]                                   # (B, HW)
-
-    # --- first `num_slots` area-surviving roots in raster (= skimage label)
-    # order: area-filter BEFORE selection (DBSCAN.py:85-92)
+    cols_f = (jnp.arange(hw, dtype=jnp.int32) % w).astype(jnp.float32)
     roots = flat_fg & (flat_lbl == flat_idx)
-    survives = roots & (areas >= float(min_area))
-    key = jnp.where(survives, -flat_idx, -big)
-    top_vals, _ = lax.top_k(key, num_slots)                # (B, S)
-    sel = -top_vals                                        # ascending raster order
-    valid = sel < big
-    sel_c = jnp.minimum(sel, hw - 1)                       # clamp for safe gathers
 
-    # --- left-to-right ordering by mean column (DBSCAN.py:93-95)
-    mean_x = jnp.where(
-        valid,
-        jnp.take_along_axis(sum_x, sel_c, axis=1)
-        / jnp.maximum(jnp.take_along_axis(areas, sel_c, axis=1), 1.0),
-        jnp.inf)
-    order = jnp.argsort(mean_x, axis=1, stable=True)
-    sel_sorted = jnp.take_along_axis(sel_c, order, axis=1)
-    valid_sorted = jnp.take_along_axis(valid, order, axis=1)
+    def fast_path(_):
+        # areas/mean-x for the first `fast_k` roots via support compare-sums
+        key = jnp.where(roots, -flat_idx, -big)
+        top_vals, _ = lax.top_k(key, fast_k)               # (B, K)
+        ridx = -top_vals                                   # ascending raster
+        rvalid = ridx < big
+        support = ((flat_lbl[:, None, :] == ridx[:, :, None])
+                   & flat_fg[:, None, :]).astype(jnp.float32)  # (B, K, HW)
+        areas_k = support.sum(-1)
+        sumx_k = support @ cols_f                          # (B, K)
+        survives = rvalid & (areas_k >= float(min_area))
+        # first `num_slots` survivors in raster order (stable compaction)
+        pos = jnp.broadcast_to(jnp.arange(fast_k)[None], (b, fast_k))
+        compact = jnp.where(survives, pos, fast_k + pos)
+        order1 = jnp.argsort(compact, axis=1)[:, :s_slots]
+        kept_valid = jnp.take_along_axis(survives, order1, axis=1)
+        mean_k = sumx_k / jnp.maximum(areas_k, 1.0)
+        kept_meanx = jnp.take_along_axis(mean_k, order1, axis=1)
+        sel = jnp.minimum(jnp.take_along_axis(ridx, order1, axis=1), hw - 1)
+        return _order_slots(sel, kept_meanx, kept_valid)
+
+    def exact_path(_):
+        # ALL components via one batched scatter-add (component id == root
+        # raster index); area-filter BEFORE selection (DBSCAN.py:85-92)
+        data = jnp.stack([flat_fg.astype(jnp.float32),
+                          flat_fg.astype(jnp.float32) * cols_f[None, :]],
+                         axis=-1)
+        sums = jax.vmap(lambda l, d: jax.ops.segment_sum(
+            d, l, num_segments=hw))(flat_lbl, data)
+        areas = sums[..., 0]
+        sum_x = sums[..., 1]
+        survives = roots & (areas >= float(min_area))
+        key = jnp.where(survives, -flat_idx, -big)
+        top_vals, _ = lax.top_k(key, s_slots)
+        sel = -top_vals
+        valid = sel < big
+        sel_c = jnp.minimum(sel, hw - 1)
+        mean_x = (jnp.take_along_axis(sum_x, sel_c, axis=1)
+                  / jnp.maximum(jnp.take_along_axis(areas, sel_c, axis=1), 1.0))
+        return _order_slots(sel_c, mean_x, valid)
+
+    few_components = jnp.max(roots.sum(axis=1)) <= fast_k
+    sel_sorted, valid_sorted = lax.cond(few_components, fast_path, exact_path,
+                                        operand=None)
 
     chans = (lbl2d[:, None] == sel_sorted[:, :, None, None]) & fg2d[:, None]
     return (chans & valid_sorted[:, :, None, None]).astype(jnp.float32)

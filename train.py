@@ -66,12 +66,12 @@ def main():
 
     from ccd_tpu.builders import build_pretrain_models
     from ccd_tpu.checkpoints.orbax_io import CheckpointManager
-    from ccd_tpu.data.augment import pretrain_views
     from ccd_tpu.data.dataset import PretrainDataset, build_dataset
     from ccd_tpu.data.pipeline import DataLoader, infinite_batches
     from ccd_tpu.losses import teacher_temp_schedule
     from ccd_tpu.parallel import data_mesh, replicated_sharding, shard_batch
-    from ccd_tpu.training import (init_pretrain_state, make_pretrain_step,
+    from ccd_tpu.training import (init_pretrain_state,
+                                  make_fused_pretrain_step,
                                   pretrain_state_payload)
 
     # ------------------------------------------------------------ data
@@ -115,8 +115,12 @@ def main():
                   / config.imgnet_based) + 1
     logging.info(f"training epochs is {nepochs}")
 
-    step_fn = make_pretrain_step(
-        student, teacher, tx,
+    # fused: 3-view device augmentation + train step in ONE compiled program
+    # (one dispatch per iteration; aug keys derive from state.rng on device,
+    # so GSPMD generates globally-consistent per-sample randomness)
+    severity = int(config.dataset_augmentation_severity or 5)
+    step_fn = make_fused_pretrain_step(
+        student, teacher, tx, severity=severity,
         base_lr=float(config.lr) * global_batch / 256.0,
         min_lr=float(config.min_lr),
         total_iters=total_iters,
@@ -135,7 +139,6 @@ def main():
     mesh = data_mesh(config.mesh_num_devices)
     state = jax.device_put(state, replicated_sharding(mesh))
     jstep = jax.jit(step_fn, donate_argnums=(0,))
-    jviews = jax.jit(pretrain_views, static_argnames=("severity",))
 
     ckpt_dir = os.path.join(config.output_dir, config.global_name)
     manager = CheckpointManager(ckpt_dir, max_to_keep=3,
@@ -156,8 +159,6 @@ def main():
     except Exception:
         writer = None
 
-    severity = int(config.dataset_augmentation_severity or 5)
-    aug_rng = jax.random.PRNGKey(int(config.seed or 0) + jax.process_index())
     metric_logger = MetricLogger(delimiter="  ")
     batches = infinite_batches(loader)
     iteration = int(jax.device_get(state.iteration))
@@ -177,11 +178,9 @@ def main():
         if args.profile_dir and iteration == 15:
             jax.profiler.stop_trace()
         images_u8, masks = next(batches)
-        aug_rng, key = jax.random.split(aug_rng)
         raw = jnp.asarray(images_u8, jnp.float32) / 255.0
         raw, masks_d = shard_batch((raw, jnp.asarray(masks)), mesh)
-        views, theta = jviews(key, raw, severity=severity)
-        state, metrics = jstep(state, views, masks_d, theta)
+        state, metrics = jstep(state, raw, masks_d)
 
         # virtual epoch is a pure function of the iteration — computed on the
         # host so the loop never synchronizes with the device except at
