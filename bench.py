@@ -37,6 +37,9 @@ def main():
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize ViT blocks (for large batches)")
+    parser.add_argument("--multi", type=int, default=8,
+                        help="train iterations per dispatch (lax.scan; "
+                             "amortizes the remote tunnel's launch latency)")
     args = parser.parse_args()
 
     import numpy as np
@@ -52,7 +55,7 @@ def main():
     from ccd_tpu.data.synthetic import make_synthetic_batch
     from ccd_tpu.losses import teacher_temp_schedule
     from ccd_tpu.models import CCDPretrainModel
-    from ccd_tpu.training import init_pretrain_state, make_fused_pretrain_step
+    from ccd_tpu.training import init_pretrain_state, make_multi_pretrain_step
 
     if args.eval:
         return bench_eval(args)
@@ -68,10 +71,12 @@ def main():
     teacher = CCDPretrainModel(arch=arch, out_dim=out_dim, with_seg_head=False,
                                dtype=dtype)
     state, tx = init_pretrain_state(jax.random.PRNGKey(0), student, teacher)
-    # fused: 3-view augmentation + train step in ONE compiled program — one
-    # dispatch per iteration (per-iteration host->device round-trips through
-    # the remote-compile tunnel cost more than the aug compute itself)
-    step = make_fused_pretrain_step(
+    # fused + multi-step: 3-view augmentation + K train iterations in ONE
+    # compiled program (lax.scan). A single dispatch through the remote
+    # tunnel costs ~2x the 63 ms device step, so both fusing the aug and
+    # batching K steps per dispatch are needed to reach device-bound rate.
+    k_steps = 1 if args.smoke else max(args.multi, 1)
+    step = make_multi_pretrain_step(
         student, teacher, tx, severity=5,
         base_lr=5e-4 * batch / 256.0, min_lr=1e-6, total_iters=100_000,
         warmup_iters=1000, weight_decay=0.04, weight_decay_end=0.4,
@@ -84,22 +89,24 @@ def main():
 
     images_u8, masks, _ = make_synthetic_batch(batch, seed=0)
     raw = jnp.asarray(images_u8, jnp.float32) / 255.0
-    masks_d = jnp.asarray(masks)
+    raws = jnp.broadcast_to(raw[None], (k_steps,) + raw.shape)
+    masks_d = jnp.broadcast_to(jnp.asarray(masks)[None],
+                               (k_steps,) + masks.shape)
 
     # warmup / compile. Synchronize via device_get (host transfer of a value
     # data-dependent on the last step) — block_until_ready is unreliable on
     # some PJRT tunnels.
-    for i in range(3):
-        state, metrics = jstep(state, raw, masks_d)
-    float(jax.device_get(metrics["loss"]))
+    for i in range(2):
+        state, metrics = jstep(state, raws, masks_d)
+    float(jax.device_get(metrics["loss"][-1]))
 
     start = time.perf_counter()
     for i in range(args.steps):
-        state, metrics = jstep(state, raw, masks_d)
-    float(jax.device_get(metrics["loss"]))
+        state, metrics = jstep(state, raws, masks_d)
+    float(jax.device_get(metrics["loss"][-1]))
     elapsed = time.perf_counter() - start
 
-    ips = batch * args.steps / elapsed
+    ips = batch * k_steps * args.steps / elapsed
     print(json.dumps({
         "metric": "pretrain_images_per_sec_per_chip_vit_small" if not args.smoke
                   else "pretrain_images_per_sec_smoke",

@@ -40,11 +40,14 @@ def _u(key, b, lo, hi):
 
 def one_of(key: jnp.ndarray, x: jnp.ndarray, ops: Sequence[Op]) -> jnp.ndarray:
     """iaa.OneOf: per-sample uniform choice among ``ops`` (all candidates are
-    computed — cheap VPU work XLA fuses; selection is one gather)."""
+    computed — cheap VPU work XLA fuses; selection is a one-hot weighted sum,
+    NOT a gather: a (N,B,H,W,C) take_along_axis costs ~3 ms on TPU while the
+    multiply-reduce is HBM-bound at ~0.1 ms)."""
     ks = jax.random.split(key, len(ops) + 1)
     cands = jnp.stack([op(ks[i], x) for i, op in enumerate(ops)])
-    choice = jax.random.randint(ks[-1], (x.shape[0], 1, 1, 1), 0, len(ops))
-    return jnp.take_along_axis(cands, choice[None], axis=0)[0]
+    choice = jax.random.randint(ks[-1], (x.shape[0],), 0, len(ops))
+    sel = jax.nn.one_hot(choice, len(ops), dtype=x.dtype)     # (B, N)
+    return jnp.einsum("nbhwc,bn->bhwc", cands, sel)
 
 
 def sometimes(key: jnp.ndarray, x: jnp.ndarray, p: float, op: Op) -> jnp.ndarray:
@@ -597,19 +600,61 @@ def op_average_blur(key, x):
     return box(x, 1) * (1 - use5) + box(x, 2) * use5
 
 
-def op_median_blur(key, x):
-    """iaa.MedianBlur(k=(3, 7)) — k restricted to {3, 5} (documented)."""
+def _med3(a, b, c):
+    return jnp.maximum(jnp.minimum(a, b), jnp.minimum(jnp.maximum(a, b), c))
+
+
+def _med5(a, b, c, d, e):
+    f = jnp.maximum(jnp.minimum(a, b), jnp.minimum(c, d))
+    g = jnp.minimum(jnp.maximum(a, b), jnp.maximum(c, d))
+    return _med3(e, f, g)
+
+
+def _median3x3(x):
+    """Exact 3x3 median via the 19-exchange min/max network (a general
+    25/9-way jnp.sort costs ~3 ms on TPU; this is pure fusable VPU work)."""
     b, h, w, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    v = [xp[:, i:i + h, j:j + w] for i in range(3) for j in range(3)]
+
+    def cx(i, j):
+        lo = jnp.minimum(v[i], v[j])
+        hi = jnp.maximum(v[i], v[j])
+        v[i], v[j] = lo, hi
+
+    # the classic 19-exchange median-of-9 network (min lands at i, max at j;
+    # the final exchanges are DIRECTIONAL — (4,2) is not (2,4))
+    for i, j in ((1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2),
+                 (4, 5), (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4),
+                 (2, 5), (4, 7), (4, 2), (6, 4), (4, 2)):
+        cx(i, j)
+    return v[4]
+
+
+def _median5_axis(x, axis):
+    """5-tap median along one spatial axis (7 min/max ops)."""
+    pad = [(0, 0)] * 4
+    pad[axis] = (2, 2)
+    xp = jnp.pad(x, pad, mode="edge")
+    n = x.shape[axis]
+    sl = [slice(None)] * 4
+    taps = []
+    for t in range(5):
+        s = list(sl)
+        s[axis] = slice(t, t + n)
+        taps.append(xp[tuple(s)])
+    return _med5(*taps)
+
+
+def op_median_blur(key, x):
+    """iaa.MedianBlur(k=(3, 7)) — k restricted to {3, 5}; k=3 is the exact
+    2-D median (min/max network), k=5 is the SEPARABLE median (row medians
+    then column medians — documented approximation of the full 5x5 median)."""
+    b = x.shape[0]
     use5 = jax.random.bernoulli(key, 0.5, (b, 1, 1, 1)).astype(x.dtype)
-
-    def med(x, r):
-        xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
-        n = 2 * r + 1
-        stack = jnp.stack([xp[:, i:i + h, j:j + w]
-                           for i in range(n) for j in range(n)], axis=-1)
-        return jnp.sort(stack, axis=-1)[..., (n * n) // 2]
-
-    return med(x, 1) * (1 - use5) + med(x, 2) * use5
+    m3 = _median3x3(x)
+    m5 = _median5_axis(_median5_axis(x, 2), 1)
+    return m3 * (1 - use5) + m5 * use5
 
 
 def op_motion_blur(key, x, k=5):
@@ -624,8 +669,9 @@ def op_motion_blur(key, x, k=5):
         acc = sum(xp[:, r + dy * t:r + dy * t + h, r + dx * t:r + dx * t + w]
                   for t in range(-r, r + 1))
         blurs.append(acc / k)
-    choice = jax.random.randint(key, (b, 1, 1, 1), 0, len(dirs))
-    return jnp.take_along_axis(jnp.stack(blurs), choice[None], axis=0)[0]
+    choice = jax.random.randint(key, (b,), 0, len(dirs))
+    sel = jax.nn.one_hot(choice, len(dirs), dtype=x.dtype)
+    return jnp.einsum("nbhwc,bn->bhwc", jnp.stack(blurs), sel)
 
 
 def op_bilateral_blur(key, x):

@@ -338,8 +338,9 @@ def abinet_augment(rng: jnp.ndarray, images: jnp.ndarray) -> jnp.ndarray:
     c1 = _motion_blur(x, keys[6], 1.0)
     small = jax.image.resize(x, (b, h // 4, w // 4, 3), "linear")
     c2 = jax.image.resize(small, (b, h, w, 3), "nearest")
-    pick = jax.random.randint(keys[7], (b, 1, 1, 1), 0, 3)
-    det = jnp.take_along_axis(jnp.stack([c0, c1, c2]), pick[None], axis=0)[0]
+    pick = jax.random.randint(keys[7], (b,), 0, 3)
+    sel = jax.nn.one_hot(pick, 3, dtype=x.dtype)
+    det = jnp.einsum("nbhwc,bn->bhwc", jnp.stack([c0, c1, c2]), sel)
     x = _blend(x, det, _gate(keys[8], b, 0.25))
 
     # color jitter p=0.25: brightness/contrast/saturation

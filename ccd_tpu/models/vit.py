@@ -183,8 +183,11 @@ class VisionTransformer(nn.Module):
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
         # remat: recompute block activations in the backward pass instead of
         # keeping them in HBM — unlocks 2-4x larger per-chip batches for the
-        # memory-bound pretrain step (the 65536-dim heads dominate HBM)
-        block_cls = nn.remat(Block, prevent_cse=False) if self.remat else Block
+        # memory-bound pretrain step (the 65536-dim heads dominate HBM).
+        # `deterministic` is a Python-level branch (DropPath), so it must be
+        # static under the checkpoint transform (self is argnum 0).
+        block_cls = (nn.remat(Block, prevent_cse=False, static_argnums=(2,))
+                     if self.remat else Block)
         self.blocks = [
             block_cls(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
                       self.drop_rate, self.attn_drop_rate, dpr[i], self.ln_eps,
@@ -231,7 +234,7 @@ class VisionTransformer(nn.Module):
         taps = []
         j = 0
         for index, blk in enumerate(self.blocks):
-            tokens = blk(tokens, deterministic=deterministic)
+            tokens = blk(tokens, deterministic)  # positional: remat static arg
             if index + 1 in self.out_indices:
                 tap = self.norm_seg[j](tokens)
                 taps.append(tap.reshape(b, gh, gw, self.embed_dim))

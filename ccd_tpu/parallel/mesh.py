@@ -39,3 +39,10 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     """Device-put every array in a batch pytree with dim-0 sharding."""
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_stacked_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Device-put (K, B, ...) multi-step batches: dim 1 (batch) sharded,
+    dim 0 (the scan/step axis) replicated."""
+    sharding = NamedSharding(mesh, P(None, axis_name))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

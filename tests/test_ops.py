@@ -287,3 +287,23 @@ def test_label_clusters_fuzz_vs_bfs(kind):
     for i in range(n):
         ref = _bfs_label_reference(masks[i])
         np.testing.assert_array_equal(ours[i], ref, err_msg=f"{kind} sample {i}")
+
+
+def test_grid_sample_binary_packed_matches_unpacked():
+    """Packed-int32 binary warp == per-channel grid_sample + >0.1 threshold
+    (the pretrain hot-loop cluster/mask warp substitution)."""
+    from ccd_tpu.ops.warp import grid_sample_binary_packed
+    rng = np.random.default_rng(12)
+    b, h, w, n_bits = 4, 32, 128, 27
+    chans = (rng.random((b, h, w, n_bits)) < 0.3).astype(np.float32)
+    theta = np.tile(np.eye(2, 3, dtype=np.float32), (b, 1, 1))
+    theta += rng.normal(scale=0.1, size=theta.shape).astype(np.float32)
+    grid = affine_grid(jnp.asarray(theta), (h, w))
+
+    ref = np.asarray(grid_sample(jnp.asarray(chans), grid)) > 0.1
+
+    shifts = np.arange(n_bits)
+    packed = (chans.astype(np.int64) << shifts).sum(-1).astype(np.int32)
+    got = np.asarray(grid_sample_binary_packed(jnp.asarray(packed), grid,
+                                               n_bits))
+    np.testing.assert_array_equal(got, ref.astype(np.float32))

@@ -17,7 +17,6 @@ from __future__ import annotations
 import argparse
 import json
 import logging
-import math
 import os
 import sys
 import tempfile
@@ -69,9 +68,10 @@ def main():
     from ccd_tpu.data.dataset import PretrainDataset, build_dataset
     from ccd_tpu.data.pipeline import DataLoader, infinite_batches
     from ccd_tpu.losses import teacher_temp_schedule
-    from ccd_tpu.parallel import data_mesh, replicated_sharding, shard_batch
+    from ccd_tpu.parallel import (data_mesh, replicated_sharding,
+                                  shard_stacked_batch)
     from ccd_tpu.training import (init_pretrain_state,
-                                  make_fused_pretrain_step,
+                                  make_multi_pretrain_step,
                                   pretrain_state_payload)
 
     # ------------------------------------------------------------ data
@@ -115,11 +115,14 @@ def main():
                   / config.imgnet_based) + 1
     logging.info(f"training epochs is {nepochs}")
 
-    # fused: 3-view device augmentation + train step in ONE compiled program
-    # (one dispatch per iteration; aug keys derive from state.rng on device,
-    # so GSPMD generates globally-consistent per-sample randomness)
+    # fused + multi-step: 3-view device augmentation + K train iterations in
+    # ONE compiled program (aug keys derive from state.rng on device, so
+    # GSPMD randomness stays globally consistent; K steps per dispatch
+    # amortize the launch latency, which on the remote-tunnel TPU costs
+    # ~2x the device step itself)
     severity = int(config.dataset_augmentation_severity or 5)
-    step_fn = make_fused_pretrain_step(
+    k_steps = max(int(config.training_steps_per_dispatch or 1), 1)
+    step_fn = make_multi_pretrain_step(
         student, teacher, tx, severity=severity,
         base_lr=float(config.lr) * global_batch / 256.0,
         min_lr=float(config.min_lr),
@@ -172,21 +175,26 @@ def main():
     log_path = os.path.join(config.global_workdir, "log.txt")
     os.makedirs(config.global_workdir, exist_ok=True)
 
+    show_iters = int(config.training_show_iters or 200)
     while iteration < n_steps:
-        if args.profile_dir and iteration == 10:
+        if args.profile_dir and 10 <= iteration < 10 + k_steps:
             jax.profiler.start_trace(args.profile_dir)
-        if args.profile_dir and iteration == 15:
+        if args.profile_dir and 10 + k_steps <= iteration < 10 + 2 * k_steps:
             jax.profiler.stop_trace()
-        images_u8, masks = next(batches)
-        raw = jnp.asarray(images_u8, jnp.float32) / 255.0
-        raw, masks_d = shard_batch((raw, jnp.asarray(masks)), mesh)
-        state, metrics = jstep(state, raw, masks_d)
+        # stack K host batches per dispatch (shape-stable: always K)
+        chunk = [next(batches) for _ in range(k_steps)]
+        raws = np.stack([c[0] for c in chunk]).astype(np.float32) / 255.0
+        masks_np = np.stack([c[1] for c in chunk])
+        raws, masks_d = shard_stacked_batch(
+            (jnp.asarray(raws), jnp.asarray(masks_np)), mesh)
+        state, metrics = jstep(state, raws, masks_d)
+        iteration += k_steps
 
         # virtual epoch is a pure function of the iteration — computed on the
         # host so the loop never synchronizes with the device except at
         # logging/checkpoint boundaries (keeps dispatch running ahead of the
         # data loader)
-        epoch = int((iteration + 1) * global_batch // config.imgnet_based)
+        epoch = int(iteration * global_batch // config.imgnet_based)
         if epoch != global_epoch:
             global_epoch = epoch
             metric_logger.synchronize_between_processes()
@@ -200,27 +208,26 @@ def main():
                     f.write(json.dumps(stats) + "\n")
             metric_logger = MetricLogger(delimiter="  ")
 
-        if iteration % int(config.training_show_iters or 200) == 0:
+        if iteration % show_iters < k_steps:  # boundary crossed this chunk
             metrics = jax.device_get(metrics)  # sync point (logging only)
+            last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
             # NaN-loss abort (reference train.py:239-241). Checked at the
             # existing logging sync point rather than every step so the abort
             # costs no extra host<->device round-trips.
-            if not math.isfinite(float(metrics["loss"])):
-                logging.error(f"Loss is {float(metrics['loss'])}, "
-                              "stopping training")
+            if not np.isfinite(np.asarray(metrics["loss"])).all():
+                logging.error(f"Loss is {last['loss']}, stopping training")
                 sys.exit(1)
-            metric_logger.update(loss=float(metrics["loss"]),
-                                 lr=float(metrics["lr"]), wd=float(metrics["wd"]))
-            ips = batch_size * (iteration + 1) / (time.time() - start)
-            logging.info(f"it {iteration} epoch {epoch} "
-                         f"loss {float(metrics['loss']):.4f} "
-                         f"(mask {float(metrics['mask_loss']):.4f} "
-                         f"dino {float(metrics['dino_loss']):.4f}) "
-                         f"lr {float(metrics['lr']):.2e} {ips:.1f} img/s")
+            metric_logger.update(loss=last["loss"], lr=last["lr"],
+                                 wd=last["wd"])
+            ips = batch_size * iteration / (time.time() - start)
+            logging.info(f"it {iteration - 1} epoch {epoch} "
+                         f"loss {last['loss']:.4f} "
+                         f"(mask {last['mask_loss']:.4f} "
+                         f"dino {last['dino_loss']:.4f}) "
+                         f"lr {last['lr']:.2e} {ips:.1f} img/s")
             if writer:
                 for k in ("loss", "mask_loss", "dino_loss", "lr", "wd"):
-                    writer.add_scalar(f"metric/{k}", float(metrics[k]), iteration)
-        iteration += 1
+                    writer.add_scalar(f"metric/{k}", last[k], iteration)
 
     manager.save(iteration, jax.device_get(state_payload(state)))
     manager.wait()
