@@ -82,3 +82,37 @@ def make_finetune_step(
         return new_state, {"loss": loss, "lr": lr}
 
     return step
+
+
+def make_fused_finetune_step(model: CCDRecognizer,
+                             tx: optax.GradientTransformation, *,
+                             aug_fn=None, **kwargs):
+    """Variant taking raw float [0,1] images: device augmentation (abinet /
+    staged supervised chain, or none) + ImageNet normalization run inside the
+    same compiled program as the train step."""
+    from ccd_tpu.data.augment import normalize
+
+    inner = make_finetune_step(model, tx, **kwargs)
+
+    def step(state: FinetuneState, images: jnp.ndarray, targets: jnp.ndarray):
+        rng, key = jax.random.split(state.rng)
+        x = aug_fn(key, images) if aug_fn is not None else images
+        return inner(state.replace(rng=rng), normalize(x), targets)
+
+    return step
+
+
+def make_multi_finetune_step(model: CCDRecognizer,
+                             tx: optax.GradientTransformation, *,
+                             aug_fn=None, **kwargs):
+    """K fused finetune iterations per dispatch (``lax.scan`` over stacked
+    (K, B, ...) batches) — same launch-latency amortization as
+    ``make_multi_pretrain_step``."""
+    inner = make_fused_finetune_step(model, tx, aug_fn=aug_fn, **kwargs)
+
+    def step(state: FinetuneState, images: jnp.ndarray, targets: jnp.ndarray):
+        def body(st, xm):
+            return inner(st, xm[0], xm[1])
+        return jax.lax.scan(body, state, (images, targets))
+
+    return step

@@ -103,12 +103,12 @@ def main():
     from ccd_tpu.checkpoints.orbax_io import CheckpointManager
     from ccd_tpu.data.dataset import SupervisedDataset, build_dataset
     from ccd_tpu.data.pipeline import DataLoader, infinite_batches
-    from ccd_tpu.data.augment import (IMAGENET_MEAN, IMAGENET_STD,
-                                      abinet_augment, normalize,
+    from ccd_tpu.data.augment import (abinet_augment, normalize,
                                       supervised_augment)
     from ccd_tpu.evaluation.runner import evaluate_benchmarks
-    from ccd_tpu.parallel import data_mesh, replicated_sharding, shard_batch
-    from ccd_tpu.training import init_finetune_state, make_finetune_step
+    from ccd_tpu.parallel import (data_mesh, replicated_sharding,
+                                  shard_stacked_batch)
+    from ccd_tpu.training import init_finetune_state, make_multi_finetune_step
 
     # ------------------------------------------------------------ data
     if args.synthetic:
@@ -190,9 +190,16 @@ def main():
         return
 
     # ------------------------------------------------------------ train
+    # fused + multi-step: device augmentation + normalization + K train
+    # iterations per dispatch (see make_multi_pretrain_step for rationale)
     total_iters = int(config.training_epochs * config.iter_num)
-    step_fn = make_finetune_step(
-        model, tx, base_lr=float(config.lr), min_lr=float(config.min_lr),
+    data_aug = bool(config.dataset_data_aug)
+    aug_fn = (abinet_augment if config.dataset_use_abi else supervised_augment) \
+        if data_aug else None
+    k_steps = max(int(config.training_steps_per_dispatch or 1), 1)
+    step_fn = make_multi_finetune_step(
+        model, tx, aug_fn=aug_fn,
+        base_lr=float(config.lr), min_lr=float(config.min_lr),
         total_iters=max(total_iters, 1),
         warmup_iters=int((config.warmup_epochs or 0) * config.iter_num),
         weight_decay=float(config.weight_decay), clip_grad=config.clip_grad)
@@ -210,19 +217,6 @@ def main():
 
     ckpt_dir = os.path.join(config.output_dir, config.global_name)
     manager = CheckpointManager(ckpt_dir, max_to_keep=3)
-
-    # device-side augmentation (dataset_pretrain.py:68-160: use_abi selects
-    # the ABINet CV family, otherwise the staged iaa pipeline)
-    data_aug = bool(config.dataset_data_aug)
-    aug_fn = abinet_augment if config.dataset_use_abi else supervised_augment
-    aug_rng = jax.random.PRNGKey(int(config.seed or 0) + 17 + jax.process_index())
-
-    @jax.jit
-    def prep(key, images_u8):
-        x = images_u8.astype(jnp.float32) / 255.0
-        if data_aug:
-            x = aug_fn(key, x)
-        return normalize(x)
 
     # last-layer cross-attention visualization (train_finetune.py:301-326)
     @jax.jit
@@ -245,29 +239,38 @@ def main():
         logging.warning(f"--max_iters {args.max_iters} exceeds the schedule "
                         f"length epochs*iter_num={total_iters}; running "
                         f"{total_iters} iterations")
-    for iteration in range(n_steps):
-        images, targets, _texts = next(batches)
-        aug_rng, key = jax.random.split(aug_rng)
-        images_d = prep(key, jnp.asarray(images))
-        batch = shard_batch((images_d, jnp.asarray(targets)), mesh)
+    show_iters = int(config.training_show_iters or 50)
+    eval_iters = int(config.training_eval_iters or 3000)
+    save_iters = int(config.training_save_iters or 20000)
+    iteration = 0
+    while iteration < n_steps:
+        chunk = [next(batches) for _ in range(k_steps)]
+        raws = np.stack([c[0] for c in chunk]).astype(np.float32) / 255.0
+        tgts = np.stack([c[1] for c in chunk])
+        batch = shard_stacked_batch((jnp.asarray(raws), jnp.asarray(tgts)),
+                                    mesh)
         state, metrics = jstep(state, *batch)
-        pending.append(metrics["loss"])  # device scalars; fetched at log time
+        pending.append(metrics["loss"])  # (K,) device array; fetched at log
+        iteration += k_steps
 
-        if iteration % int(config.training_show_iters or 50) == 0:
-            for v in jax.device_get(pending):
-                loss_avg.add(float(v))
+        if iteration % show_iters < k_steps:
+            for arr in jax.device_get(pending):
+                for v in np.asarray(arr).reshape(-1):
+                    loss_avg.add(float(v))
             pending.clear()
-            lr = float(jax.device_get(metrics["lr"]))
-            logging.info(f"iteration:{iteration}--> train loss:{loss_avg.val():.4f} "
+            lr = float(np.asarray(jax.device_get(metrics["lr"]))[-1])
+            logging.info(f"iteration:{iteration - 1}--> "
+                         f"train loss:{loss_avg.val():.4f} "
                          f"lr:{lr:.2e} ({(time.time()-start):.0f}s)")
             if writer:
                 writer.add_scalar("metric/train_loss", loss_avg.val(), iteration)
                 writer.add_scalar("metric/lr", lr, iteration)
+                images_d = normalize(jnp.asarray(raws[-1]))
                 _log_attention_maps(writer, viz_attn, state.params, images_d,
                                     iteration)
             loss_avg.reset()
 
-        if iteration and iteration % int(config.training_eval_iters or 3000) == 0:
+        if iteration >= k_steps and iteration % eval_iters < k_steps:
             logging.info("eval model")
             acc = run_eval(iteration)
             if writer:
@@ -278,7 +281,7 @@ def main():
                                          "iteration": iteration})
                 manager.wait()
 
-        if iteration and iteration % int(config.training_save_iters or 20000) == 0:
+        if iteration >= k_steps and iteration % save_iters < k_steps:
             manager.save(iteration, {"params": state.params,
                                      "iteration": iteration})
 
