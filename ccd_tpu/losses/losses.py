@@ -29,8 +29,10 @@ def seg_loss(seg_logits: jnp.ndarray, gt_masks: jnp.ndarray) -> jnp.ndarray:
     """
     probs = jax.nn.softmax(seg_logits.astype(jnp.float32), axis=-1)
     logp = jax.nn.log_softmax(probs, axis=-1)  # reference's double softmax
-    labels = gt_masks.astype(jnp.int32)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    # class pick as arithmetic select, NOT take_along_axis: a per-pixel
+    # gather over the size-2 class axis costs ~7 ms/step on TPU
+    y = gt_masks.astype(jnp.float32)
+    nll = -(logp[..., 0] * (1.0 - y) + logp[..., 1] * y)
     return jnp.mean(nll)
 
 

@@ -49,13 +49,15 @@ def _propagate(lbl2d: jnp.ndarray, fg2d: jnp.ndarray, big: int,
     """
 
     def pool_chunk(l):
-        def body(_, l):
+        # unrolled (chunk is small + static): a fori_loop lowers to a nested
+        # while whose per-iteration overhead exceeds the 30us pool itself
+        for _ in range(chunk):
             pooled = lax.reduce_window(
                 jnp.where(fg2d, l, big), big, lax.min,
                 window_dimensions=(1, 3, 3), window_strides=(1, 1, 1),
                 padding=((0, 0), (1, 1), (1, 1)))
-            return jnp.where(fg2d, jnp.minimum(l, pooled), l)
-        return lax.fori_loop(0, chunk, body, l)
+            l = jnp.where(fg2d, jnp.minimum(l, pooled), l)
+        return l
 
     def cond(carry):
         _, changed = carry
