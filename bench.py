@@ -33,6 +33,8 @@ def main():
                         help="tiny CPU-runnable variant (not the headline number)")
     parser.add_argument("--eval", action="store_true",
                         help="benchmark greedy-decode inference instead of pretrain")
+    parser.add_argument("--finetune", action="store_true",
+                        help="benchmark the supervised finetune step instead")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--remat", action="store_true",
@@ -59,6 +61,8 @@ def main():
 
     if args.eval:
         return bench_eval(args)
+    if args.finetune:
+        return bench_finetune(args)
 
     if args.smoke:
         arch, out_dim, batch, dtype = "vit_tiny", 1024, 8, jnp.float32
@@ -113,6 +117,56 @@ def main():
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / ESTIMATED_3090_IMG_PER_SEC, 3),
+    }))
+
+
+def bench_finetune(args):
+    """Supervised finetune throughput: device staged augmentation + ViT-S +
+    NRTR teacher-forced fwd/bwd + AdamW, K steps per dispatch (the
+    train_finetune.py hot path at the reference batch 288)."""
+    import json
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ccd_tpu.data.augment import supervised_augment
+    from ccd_tpu.models import CCDRecognizer
+    from ccd_tpu.training import init_finetune_state, make_multi_finetune_step
+
+    batch = args.batch or 288
+    k_steps = 1 if args.smoke else max(args.multi, 1)
+    dtype = jnp.float32 if args.smoke else jnp.bfloat16
+    model = CCDRecognizer(arch="vit_tiny" if args.smoke else "vit_small",
+                          max_seq_len=25, dtype=dtype)
+    state, tx = init_finetune_state(jax.random.PRNGKey(0), model)
+    step = make_multi_finetune_step(
+        model, tx, aug_fn=supervised_augment, base_lr=1e-4, min_lr=1e-5,
+        total_iters=100_000, warmup_iters=0, weight_decay=0.05, clip_grad=5.0)
+    jstep = jax.jit(step, donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    raws = jnp.asarray(rng.random((k_steps, batch, 32, 128, 3)), jnp.float32)
+    tgts = rng.integers(0, 90, size=(k_steps, batch, 25)).astype(np.int32)
+    tgts[..., 0] = model.start_idx
+    tgts[..., -5:] = model.padding_idx
+    tgts = jnp.asarray(tgts)
+
+    for _ in range(2):
+        state, metrics = jstep(state, raws, tgts)
+    float(jax.device_get(metrics["loss"][-1]))  # honest sync (see main())
+    start = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = jstep(state, raws, tgts)
+    float(jax.device_get(metrics["loss"][-1]))
+    elapsed = time.perf_counter() - start
+    ips = batch * k_steps * args.steps / elapsed
+    print(json.dumps({
+        "metric": "finetune_images_per_sec_per_chip_vit_small",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 100.0, 3),
     }))
 
 
