@@ -178,3 +178,47 @@ def test_fused_pretrain_step_from_raw():
     state, metrics = step(state, jnp.asarray(raw), jnp.asarray(masks))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.iteration) == 1
+
+
+def test_multi_step_equals_sequential_fused():
+    """K scanned iterations (one dispatch) == K sequential fused dispatches:
+    rng threading, batch stacking and metric stacking are equivalent."""
+    from ccd_tpu.losses import teacher_temp_schedule as tts
+    from ccd_tpu.training import (make_fused_pretrain_step,
+                                  make_multi_pretrain_step)
+
+    student = CCDPretrainModel(arch="vit_micro", out_dim=64, with_seg_head=True)
+    teacher = CCDPretrainModel(arch="vit_micro", out_dim=64, with_seg_head=False)
+    state, tx = init_pretrain_state(jax.random.PRNGKey(3), student, teacher)
+    kwargs = dict(base_lr=1e-3, min_lr=1e-6, total_iters=50, warmup_iters=5,
+                  weight_decay=0.04, weight_decay_end=0.4,
+                  momentum_teacher=0.996,
+                  teacher_temps=tts(0.04, 0.04, 0, 5), clip_grad=3.0,
+                  freeze_last_layer=1, global_batch=4, imgnet_based=10_000)
+    fused = jax.jit(make_fused_pretrain_step(student, teacher, tx, severity=5,
+                                             **kwargs))
+    multi = jax.jit(make_multi_pretrain_step(student, teacher, tx, severity=5,
+                                             **kwargs))
+
+    rng = np.random.default_rng(5)
+    raws = rng.random((2, 4, 32, 128, 3)).astype(np.float32)
+    masks = np.zeros((2, 4, 32, 128), np.float32)
+    masks[..., 8:24, 10:40] = 1.0
+    masks[..., 8:24, 70:110] = 1.0
+
+    s_seq = jax.tree.map(jnp.copy, state)
+    seq_losses = []
+    for k in range(2):
+        s_seq, m = fused(s_seq, jnp.asarray(raws[k]), jnp.asarray(masks[k]))
+        seq_losses.append(float(m["loss"]))
+
+    s_multi, metrics = multi(jax.tree.map(jnp.copy, state),
+                             jnp.asarray(raws), jnp.asarray(masks))
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), seq_losses,
+                               rtol=1e-5, atol=1e-5)
+    assert int(s_multi.iteration) == int(s_seq.iteration) == 2
+    # params agree to float-reassociation tolerance (the scanned and
+    # unscanned programs fuse/reassociate fp32 reductions differently)
+    for a, b in zip(jax.tree.leaves(s_seq.student_params),
+                    jax.tree.leaves(s_multi.student_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
