@@ -93,6 +93,36 @@ def load_recognizer_params(path: str, model: CCDRecognizer,
     return tree["params"] if isinstance(tree, dict) and "params" in tree else tree
 
 
+def load_finetune_payload(path: str, template: Any) -> Optional[Dict[str, Any]]:
+    """Restore a FULL finetune train-state payload ``{params, opt_state,
+    iteration, best_accuracy}`` (``finetune_state_payload``) from an Orbax
+    CheckpointManager root, a single step dir, or a raw pytree dir — the
+    restart_from_checkpoint equivalent (reference train_finetune.py:237-256,
+    which restores model + optimizer + iteration). Returns None when ``path``
+    holds no full payload (a torch ``.pth`` or a params-only tree), so the
+    caller falls back to the params-only load."""
+    from ccd_tpu.checkpoints.orbax_io import CheckpointManager, restore_pytree
+    if is_torch_checkpoint(path):
+        return None
+    norm = os.path.normpath(path)
+    try:
+        if os.path.isdir(norm) and os.path.basename(norm).isdigit():
+            mgr = CheckpointManager(os.path.dirname(norm))
+            tree = mgr.restore(int(os.path.basename(norm)), template)
+            mgr.close()
+        elif os.path.isdir(norm) and any(d.isdigit() for d in os.listdir(norm)):
+            mgr = CheckpointManager(norm)
+            tree = mgr.restore(mgr.latest_step(), template)
+            mgr.close()
+        else:
+            tree = restore_pytree(norm, template)
+    except Exception:
+        return None
+    if not isinstance(tree, dict) or "opt_state" not in tree:
+        return None
+    return tree
+
+
 def load_pretrained_backbone(path: str, params: Dict[str, Any],
                              branch: str = "teacher") -> Dict[str, Any]:
     """Copy the pretrain checkpoint's backbone into recognizer params

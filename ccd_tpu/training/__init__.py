@@ -7,8 +7,8 @@ from ccd_tpu.training.pretrain_step import (
     make_multi_pretrain_step, make_pretrain_step, pretrain_state_payload,
 )
 from ccd_tpu.training.finetune_step import (
-    FinetuneState, init_finetune_state, make_finetune_step,
-    make_fused_finetune_step, make_multi_finetune_step,
+    FinetuneState, finetune_state_payload, init_finetune_state,
+    make_finetune_step, make_fused_finetune_step, make_multi_finetune_step,
 )
 
 __all__ = [
@@ -17,4 +17,5 @@ __all__ = [
     "make_pretrain_step", "make_fused_pretrain_step", "make_multi_pretrain_step",
     "init_pretrain_state", "pretrain_state_payload", "FinetuneState", "make_finetune_step",
     "make_fused_finetune_step", "make_multi_finetune_step", "init_finetune_state",
+    "finetune_state_payload",
 ]

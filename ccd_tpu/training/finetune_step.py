@@ -44,6 +44,19 @@ def init_finetune_state(rng: jnp.ndarray, model: CCDRecognizer,
                          iteration=jnp.zeros((), jnp.int32), rng=state_rng), tx
 
 
+def finetune_state_payload(state: "FinetuneState",
+                           best_accuracy: float = 0.0) -> dict:
+    """Checkpoint payload mirroring the reference's ``{net, optimizer,
+    iteration}`` periodic/best checkpoints (train_finetune.py:373-389,
+    restored by ``restart_from_checkpoint``), plus ``best_accuracy`` so a
+    preempted run resumes its best-checkpoint tracking (the reference resets
+    best to 0 on restart). The rng key is intentionally excluded and
+    re-derived on resume (see ``pretrain_state_payload``)."""
+    return {"params": state.params, "opt_state": state.opt_state,
+            "iteration": state.iteration,
+            "best_accuracy": jnp.asarray(best_accuracy, jnp.float32)}
+
+
 def make_finetune_step(
     model: CCDRecognizer,
     tx: optax.GradientTransformation,

@@ -176,6 +176,13 @@ def main():
     os.makedirs(config.global_workdir, exist_ok=True)
 
     show_iters = int(config.training_show_iters or 200)
+    if (n_steps - iteration) % k_steps != 0:
+        logging.warning(
+            f"remaining steps {n_steps - iteration} not a multiple of "
+            f"training.steps_per_dispatch={k_steps}; the loop runs "
+            f"{(iteration - n_steps) % k_steps} extra iterations (the K-step "
+            f"scan is shape-static); checkpoints are labeled with the actual "
+            f"iteration count")
     while iteration < n_steps:
         if args.profile_dir and 10 <= iteration < 10 + k_steps:
             jax.profiler.start_trace(args.profile_dir)

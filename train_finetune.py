@@ -98,9 +98,11 @@ def main():
     if os.environ.get("COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
 
-    from ccd_tpu.builders import (build_recognizer, load_pretrained_backbone,
+    from ccd_tpu.builders import (build_recognizer, load_finetune_payload,
+                                  load_pretrained_backbone,
                                   load_recognizer_params)
-    from ccd_tpu.checkpoints.orbax_io import CheckpointManager
+    from ccd_tpu.checkpoints.orbax_io import (CheckpointManager,
+                                              restore_pytree, save_pytree)
     from ccd_tpu.data.dataset import SupervisedDataset, build_dataset
     from ccd_tpu.data.pipeline import DataLoader, infinite_batches
     from ccd_tpu.data.augment import (abinet_augment, normalize,
@@ -108,7 +110,8 @@ def main():
     from ccd_tpu.evaluation.runner import evaluate_benchmarks
     from ccd_tpu.parallel import (data_mesh, replicated_sharding,
                                   shard_stacked_batch)
-    from ccd_tpu.training import init_finetune_state, make_multi_finetune_step
+    from ccd_tpu.training import (finetune_state_payload, init_finetune_state,
+                                  make_multi_finetune_step)
 
     # ------------------------------------------------------------ data
     if args.synthetic:
@@ -158,13 +161,16 @@ def main():
     eval_log_dir = os.path.join(str(config.output_dir or "./saved_models/"),
                                 str(config.global_name))
 
+    eval_loader_cache = {}  # benchmark datasets/loaders built once per run
+
     def run_eval(iteration=None):
         results, weighted = evaluate_benchmarks(
             model, state.params, list(config.dataset_test_roots or []),
             batch_size=int(config.dataset_test_batch_size or batch_size),
             max_seq_len=max_seq_len,
             charset_type=config.dataset_charset_type or "DICT90",
-            case_sensitive=bool(config.dataset_eval_case_sensitive))
+            case_sensitive=bool(config.dataset_eval_case_sensitive),
+            loader_cache=eval_loader_cache)
         # per-benchmark eval log file (reference train_finetune.py:352-371)
         evaluation_log = ""
         if iteration is not None:
@@ -204,6 +210,36 @@ def main():
         warmup_iters=int((config.warmup_epochs or 0) * config.iter_num),
         weight_decay=float(config.weight_decay), clip_grad=config.clip_grad)
 
+    # ---- full-state resume (params + AdamW moments + iteration + best):
+    # the restart_from_checkpoint equivalent (reference
+    # train_finetune.py:237-256 restores model + optimizer + iteration; we
+    # additionally carry best_accuracy, which the reference resets to 0).
+    # Priority: a mid-run checkpoint in this run's own ckpt_dir, else a full
+    # payload at --checkpoint (torch .pth was already loaded params-only).
+    ckpt_dir = os.path.join(config.output_dir, config.global_name)
+    manager = CheckpointManager(ckpt_dir, max_to_keep=3)
+    best_ckpt_path = os.path.join(ckpt_dir, "best_accuracy")
+    best_accuracy = 0.0
+    template = jax.device_get(finetune_state_payload(state))
+    payload = None
+    latest = manager.latest_step()
+    if latest is not None:
+        logging.info(f"resuming mid-run from {ckpt_dir} step {latest}")
+        try:
+            payload = manager.restore(latest, template)
+        except Exception as e:
+            logging.warning(f"step {latest} is not a full train-state "
+                            f"payload ({e}); starting from loaded params")
+    elif config.model_checkpoint:
+        payload = load_finetune_payload(config.model_checkpoint, template)
+    if payload is not None:
+        state = state.replace(
+            params=payload["params"], opt_state=payload["opt_state"],
+            iteration=jnp.asarray(payload["iteration"], jnp.int32))
+        best_accuracy = float(payload["best_accuracy"])
+        logging.info(f"continue to train:{int(payload['iteration'])} "
+                     f"(best_accuracy {best_accuracy:0.3f})")
+
     mesh = data_mesh(config.mesh_num_devices)
     state = jax.device_put(state, replicated_sharding(mesh))
     jstep = jax.jit(step_fn, donate_argnums=(0,))
@@ -214,9 +250,6 @@ def main():
         writer = SummaryWriter(log_dir=f"./tensorboard/{config.global_name}")
     except Exception:
         writer = None
-
-    ckpt_dir = os.path.join(config.output_dir, config.global_name)
-    manager = CheckpointManager(ckpt_dir, max_to_keep=3)
 
     # last-layer cross-attention visualization (train_finetune.py:301-326)
     @jax.jit
@@ -231,7 +264,6 @@ def main():
 
     loss_avg = Averager()
     pending = []
-    best_accuracy = 0.0
     batches = infinite_batches(train_loader)
     start = time.time()
     n_steps = min(total_iters, args.max_iters or total_iters)
@@ -242,7 +274,14 @@ def main():
     show_iters = int(config.training_show_iters or 50)
     eval_iters = int(config.training_eval_iters or 3000)
     save_iters = int(config.training_save_iters or 20000)
-    iteration = 0
+    if n_steps % k_steps != 0:
+        logging.warning(
+            f"n_steps={n_steps} is not a multiple of "
+            f"training.steps_per_dispatch={k_steps}; the loop runs "
+            f"{(-n_steps) % k_steps} extra iterations (the K-step scan is "
+            f"shape-static) and the final checkpoint is labeled with the "
+            f"actual iteration count")
+    iteration = int(jax.device_get(state.iteration))
     while iteration < n_steps:
         chunk = [next(batches) for _ in range(k_steps)]
         raws = np.stack([c[0] for c in chunk]).astype(np.float32) / 255.0
@@ -276,20 +315,28 @@ def main():
             if writer:
                 writer.add_scalar("metric/eval_acc", acc, iteration)
             if acc >= best_accuracy:
+                # durable best checkpoint: a fixed path the manager's
+                # retention policy never evicts (reference best_accuracy.pth,
+                # train_finetune.py:373-378), overwritten on improvement
                 best_accuracy = acc
-                manager.save(iteration, {"params": state.params,
-                                         "iteration": iteration})
-                manager.wait()
+                save_pytree(best_ckpt_path, jax.device_get(
+                    finetune_state_payload(state, best_accuracy)))
 
         if iteration >= k_steps and iteration % save_iters < k_steps:
-            manager.save(iteration, {"params": state.params,
-                                     "iteration": iteration})
+            manager.save(iteration, jax.device_get(
+                finetune_state_payload(state, best_accuracy)))
 
-    # final eval + save
-    acc = run_eval(n_steps)
-    manager.save(n_steps, {"params": state.params, "iteration": n_steps})
+    # final eval + save (labeled with the ACTUAL trained iteration count)
+    acc = run_eval(iteration)
+    if acc >= best_accuracy:
+        best_accuracy = acc
+        save_pytree(best_ckpt_path, jax.device_get(
+            finetune_state_payload(state, best_accuracy)))
+    if manager.latest_step() != iteration:
+        manager.save(iteration, jax.device_get(
+            finetune_state_payload(state, best_accuracy)))
     manager.wait()
-    logging.info(f"done: final accuracy {acc:0.3f}, best {max(best_accuracy, acc):0.3f}")
+    logging.info(f"done: final accuracy {acc:0.3f}, best {best_accuracy:0.3f}")
 
 
 if __name__ == "__main__":
