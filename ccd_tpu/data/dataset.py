@@ -37,6 +37,10 @@ def mask_env_path(data_path: str, mask_root: str) -> Optional[str]:
 class LmdbImageDataset:
     """Base LMDB reader: decoded RGB image resized to (img_h, img_w)."""
 
+    # process-wide count of LMDB environment opens — lets tests assert that
+    # cached eval loaders do ZERO re-opens across eval cycles
+    open_count = 0
+
     def __init__(self, path: str, is_training: bool = True, img_h: int = 32,
                  img_w: int = 128, data_portion: float = 1.0, mask: bool = False,
                  mask_path: str = "", min_pixels: int = 6, multiscales: bool = False,
@@ -51,6 +55,7 @@ class LmdbImageDataset:
         self._rng = random.Random(seed)
 
         # native C++ reader when a compiler is available, else pure Python
+        LmdbImageDataset.open_count += 1
         self.env = open_reader(path)
         self.mask_env = None
         if mask and mask_path:

@@ -70,23 +70,30 @@ class TextAccuracy:
     def synchronize_between_processes(self) -> None:
         """Sum counters over all JAX processes (parity: the reference's meter
         ``dist.all_reduce``, ``Dino/modules/utils.py:253-264``); no-op on a
-        single process."""
+        single process.
+
+        The five integer counters (chars/words/correct/edit-distance) travel
+        as two int32 limbs (lo = v mod 2^30, hi = v div 2^30) so counts far
+        above float32's 2^24 integer range sum exactly without requiring
+        x64 mode; ned/time are genuinely fractional and stay float32."""
         import jax
         if jax.process_count() == 1:
             return
         import jax.numpy as jnp
         from jax.experimental.multihost_utils import process_allgather
-        arr = jnp.asarray([self.total_num_char, self.total_num_word,
+        ints = np.asarray([self.total_num_char, self.total_num_word,
                            self.correct_num_char, self.correct_num_word,
-                           self.total_ed, self.total_ned, self.inference_time],
-                          jnp.float64 if jax.config.jax_enable_x64
-                          else jnp.float32)
-        gathered = np.asarray(process_allgather(arr))
-        summed = gathered.sum(0)
+                           self.total_ed], np.int64)
+        limbs = jnp.asarray(
+            np.stack([ints % (1 << 30), ints >> 30], axis=-1), jnp.int32)
+        floats = jnp.asarray([self.total_ned, self.inference_time], jnp.float32)
+        g_ints = np.asarray(process_allgather(limbs), np.int64)   # (P, 5, 2)
+        g_floats = np.asarray(process_allgather(floats))          # (P, 2)
+        summed = (g_ints[..., 0] + (g_ints[..., 1] << 30)).sum(0)  # (5,)
         (self.total_num_char, self.total_num_word, self.correct_num_char,
-         self.correct_num_word, self.total_ed, self.total_ned) = \
-            [float(v) for v in summed[:6]]
-        self.inference_time = float(gathered[:, 6].max())
+         self.correct_num_word, self.total_ed) = [float(v) for v in summed]
+        self.total_ned = float(g_floats[:, 0].sum())
+        self.inference_time = float(g_floats[:, 1].max())
 
     def result(self) -> Dict[str, float]:
         mets = [

@@ -78,12 +78,17 @@ def evaluate_benchmarks(model, params, test_roots: Sequence[str],
                         test_speed: bool = False,
                         process_index: Optional[int] = None,
                         process_count: Optional[int] = None,
+                        loader_cache: Optional[dict] = None,
                         ) -> Tuple[List[Dict[str, float]], float]:
     """Run the 11-benchmark-style eval; returns (per-set metrics, weighted acc).
 
     With multiple JAX processes each evaluates its shard and counters are
     summed (``TextAccuracy.synchronize_between_processes``), so the returned
     metrics cover the full benchmark on every process.
+
+    ``loader_cache``: pass the same dict across periodic eval cycles (the
+    finetune loop does) to reuse each benchmark's dataset + loader — the
+    LMDB open and index scan happen once per run instead of once per cycle.
     """
     pidx = jax.process_index() if process_index is None else process_index
     pcnt = jax.process_count() if process_count is None else process_count
@@ -94,15 +99,23 @@ def evaluate_benchmarks(model, params, test_roots: Sequence[str],
     total_acc = 0.0
     total_words = 0.0
     for i, root in enumerate(test_roots):
-        ds = build_dataset(SupervisedDataset, [root], is_training=False,
-                           convertor=convertor, max_seq_len=max_seq_len)
-        loader = DataLoader(ds, batch_size=batch_size, shuffle=False,
-                            drop_last=False, num_workers=num_workers,
-                            process_index=pidx, process_count=pcnt)
+        key = (str(root), batch_size, max_seq_len, charset_type, num_workers,
+               pidx, pcnt)
+        if loader_cache is not None and key in loader_cache:
+            loader = loader_cache[key]
+        else:
+            ds = build_dataset(SupervisedDataset, [root], is_training=False,
+                               convertor=convertor, max_seq_len=max_seq_len)
+            loader = DataLoader(ds, batch_size=batch_size, shuffle=False,
+                                drop_last=False, num_workers=num_workers,
+                                process_index=pidx, process_count=pcnt)
+            if loader_cache is not None:
+                loader_cache[key] = loader
         acc = TextAccuracy(case_sensitive=case_sensitive)
         acc.compute(lambda imgs: predict(imgs),
                     ((images, texts) for images, _targets, texts in loader))
-        acc.synchronize_between_processes()
+        if pcnt > 1:  # only sum counters when the eval was actually sharded
+            acc.synchronize_between_processes()
         res = acc.result()
         res["name"] = names[i] if names else str(root)
         results.append(res)
