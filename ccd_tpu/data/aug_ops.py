@@ -9,9 +9,14 @@ with per-sample parameters. Where an exact port is impractical on TPU the op
 is an explicitly documented approximation (see PARITY.md "augmentation"
 section for the op-by-op map):
 
-* ``BilateralBlur`` -> gaussian blur (edge-preservation dropped)
-* ``CLAHE`` -> clip-limited *global* equalization (no 8x8 tiling)
-* ``DirectedEdgeDetect`` -> directional Sobel-magnitude blend
+* ``BilateralBlur`` -> TRUE bilateral (cv2 disc window + L1 color distance,
+  cv2-anchored test); only d is fixed at 5 instead of sampled (3, 10)
+* ``CLAHE`` -> REAL 8x8-tile clip-limited CLAHE with cv2's clip/redistribute
+  arithmetic and bilinear tile interpolation (cv2-anchored test); the RGB op
+  applies it on luminance w/ ratio rescale (imgaug uses the Lab L channel)
+* ``DirectedEdgeDetect`` -> exact imgaug kernel math (reconstructed from
+  imgaug 0.4.0 augmenters/convolutional.py; imgaug itself is not installed)
+* ``AdditivePoissonNoise`` -> moment-matched rounded gaussian
 * ``MedianBlur k=7`` -> k in {3,5} (25-way sorts; 49-way not worth it)
 * ``KMeansColorQuantization`` -> true mini-batch Lloyd (4 iters, k in 2..16)
 * conv border mode: edge replication vs cv2's BORDER_REFLECT_101
@@ -55,6 +60,30 @@ def sometimes(key: jnp.ndarray, x: jnp.ndarray, p: float, op: Op) -> jnp.ndarray
     k1, k2 = jax.random.split(key)
     gate = jax.random.bernoulli(k1, p, (x.shape[0], 1, 1, 1)).astype(x.dtype)
     return x * (1.0 - gate) + op(k2, x) * gate
+
+
+def some_of_random_order(key: jnp.ndarray, x: jnp.ndarray,
+                         ops: Sequence[Op]) -> jnp.ndarray:
+    """iaa.SomeOf((1, None), ops, random_order=True): per-sample random
+    subset (size uniform in [1, len(ops)]) applied sequentially in a
+    per-sample random ORDER (the severity-2 chain). Exact semantics: len(ops)
+    sequential slots; in slot s each sample applies op perm[s] (one-hot
+    select over all candidates) while s < n_apply — len^2 op evaluations,
+    all fusable batch work."""
+    n = len(ops)
+    b = x.shape[0]
+    k_perm, k_n, k_ops = jax.random.split(key, 3)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, n))(
+        jax.random.split(k_perm, b))                       # (B, n)
+    n_apply = jax.random.randint(k_n, (b,), 1, n + 1)
+    for s in range(n):
+        ks = jax.random.split(jax.random.fold_in(k_ops, s), n)
+        cands = jnp.stack([op(ks[i], x) for i, op in enumerate(ops)])
+        sel = jax.nn.one_hot(perms[:, s], n, dtype=x.dtype)
+        y = jnp.einsum("nbhwc,bn->bhwc", cands, sel)
+        active = (s < n_apply).astype(x.dtype)[:, None, None, None]
+        x = x * (1.0 - active) + y * active
+    return x
 
 
 def _conv3x3(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
@@ -196,15 +225,15 @@ def op_dropout(key, x, p_max=0.1):
     return jnp.where(drop, 0.0, x)
 
 
-def op_coarse_dropout(key, x, p=0.02, size_percent=0.15):
-    """iaa.CoarseDropout(0.02, size_percent=0.15, per_channel=0.5)."""
+def op_coarse_dropout(key, x, p=0.02, size_percent=0.15, per_channel=0.5):
+    """iaa.CoarseDropout(0.02, size_percent=..., per_channel=...)."""
     k1, k2, k3 = jax.random.split(key, 3)
     b, h, w, c = x.shape
     ch = max(int(h * size_percent), 2)
     cw = max(int(w * size_percent), 2)
     drop_pc = jax.random.uniform(k1, (b, ch, cw, c)) < p
     drop_mono = jax.random.uniform(k2, (b, ch, cw, 1)) < p
-    pc = jax.random.bernoulli(k3, 0.5, (b, 1, 1, 1))
+    pc = jax.random.bernoulli(k3, per_channel, (b, 1, 1, 1))
     drop = jnp.where(pc, drop_pc, jnp.broadcast_to(drop_mono, drop_pc.shape))
     big = jax.image.resize(drop.astype(x.dtype), (b, h, w, c), "nearest")
     return x * (1.0 - big)
@@ -366,19 +395,47 @@ def op_edge_detect(key, x):
     return x * (1 - alpha) + edge * alpha
 
 
+# the 8 neighbor cells of a 3x3 kernel, (x, y) offsets in row-major order
+_DED_CELLS = np.array([(xx, yy) for yy in (-1, 0, 1) for xx in (-1, 0, 1)
+                       if not (xx == 0 and yy == 0)], np.float32)
+_DED_CELLS_N = _DED_CELLS / np.linalg.norm(_DED_CELLS, axis=1, keepdims=True)
+
+
+def directed_edge_kernel(alpha: jnp.ndarray, direction: jnp.ndarray
+                         ) -> jnp.ndarray:
+    """The imgaug DirectedEdgeDetect kernel (augmenters/convolutional.py):
+    ``deg = int(direction*360) % 360``; each neighbor cell's weight is
+    ``(1 - angle_distance(cell, direction)/180)**4``, normalized over the 8
+    cells, negated with center 1, then blended with the identity kernel by
+    ``alpha`` — so the final kernel is center 1, neighbors ``-alpha * w``.
+
+    alpha, direction: (B,) in [0,1]. Returns (B, 3, 3)."""
+    deg = jnp.floor(direction * 360.0) % 360.0
+    rad = jnp.deg2rad(deg)
+    dvec = jnp.stack([jnp.cos(rad - 0.5 * jnp.pi),
+                      jnp.sin(rad - 0.5 * jnp.pi)], axis=-1)        # (B, 2)
+    cos = jnp.clip(dvec @ jnp.asarray(_DED_CELLS_N).T, -1.0, 1.0)   # (B, 8)
+    dist = jnp.rad2deg(jnp.arccos(cos)) / 180.0
+    sim = (1.0 - dist) ** 4
+    sim = sim / jnp.sum(sim, axis=-1, keepdims=True)
+    w = -alpha[:, None] * sim                                       # (B, 8)
+    b = alpha.shape[0]
+    rows = [w[:, 0:3],
+            jnp.stack([w[:, 3], jnp.ones((b,)), w[:, 4]], axis=-1),
+            w[:, 5:8]]
+    return jnp.stack(rows, axis=-2)
+
+
 def op_directed_edge_detect(key, x):
-    """iaa.DirectedEdgeDetect(alpha=(0,1), direction=(0,1)) — approximated by
-    the gradient magnitude along a random direction (Sobel pair)."""
+    """iaa.DirectedEdgeDetect(alpha=(0,1), direction=(0,1)) with the exact
+    imgaug kernel math (see ``directed_edge_kernel``); border handling is
+    edge-replicate vs cv2 reflect (the documented library-wide difference)."""
     k1, k2 = jax.random.split(key)
     b = x.shape[0]
-    theta = jax.random.uniform(k1, (b, 1, 1, 1), minval=0.0,
-                               maxval=2 * np.pi)
-    alpha = _u(k2, b, 0.0, 1.0)
-    sx = jnp.asarray(np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32))
-    sy = jnp.asarray(np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], np.float32))
-    gx, gy = _conv3x3(x, sx), _conv3x3(x, sy)
-    edge = jnp.clip(jnp.abs(jnp.cos(theta) * gx + jnp.sin(theta) * gy), 0, 1)
-    return x * (1 - alpha) + edge * alpha
+    alpha = jax.random.uniform(k1, (b,))
+    direction = jax.random.uniform(k2, (b,))
+    kern = directed_edge_kernel(alpha, direction)
+    return jnp.clip(_conv3x3(x, kern), 0, 1)
 
 
 _EDGE_ENHANCE_MORE = np.array([[-1, -1, -1], [-1, 9, -1], [-1, -1, -1]],
@@ -674,10 +731,45 @@ def op_motion_blur(key, x, k=5):
     return jnp.einsum("nbhwc,bn->bhwc", jnp.stack(blurs), sel)
 
 
+def bilateral_filter(x: jnp.ndarray, sigma_color: jnp.ndarray,
+                     sigma_space: jnp.ndarray, radius: int = 2) -> jnp.ndarray:
+    """True bilateral filter with cv2 semantics on a disc window.
+
+    cv2.bilateralFilter(d=2*radius+1): taps with ``dy^2+dx^2 > radius^2`` are
+    excluded (circular support); color distance is the cross-channel L1 sum
+    in 8-bit units; weights ``exp(-d^2 / (2 sigma^2))``. Implemented as
+    shifted compare-sums — no gathers (13 taps at radius 2).
+
+    x: (B, H, W, C) float [0,1]; sigmas: (B, 1, 1, 1) in 8-bit/pixel units.
+    """
+    b, h, w, _ = x.shape
+    r = radius
+    gc = -0.5 / (sigma_color * sigma_color)
+    gs = -0.5 / (sigma_space * sigma_space)
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
+    num = jnp.zeros_like(x)
+    den = jnp.zeros((b, h, w, 1), x.dtype)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy * dy + dx * dx > r * r:
+                continue  # cv2's circular window
+            nb = xp[:, r + dy:r + dy + h, r + dx:r + dx + w]
+            cd = jnp.sum(jnp.abs(nb - x), axis=-1, keepdims=True) * 255.0
+            wgt = jnp.exp(gc * cd * cd + gs * float(dy * dy + dx * dx))
+            num = num + wgt * nb
+            den = den + wgt
+    return num / den
+
+
 def op_bilateral_blur(key, x):
-    """iaa.BilateralBlur(...) — approximated by gaussian blur (documented)."""
-    sigma = jax.random.uniform(key, (x.shape[0],), minval=0.5, maxval=2.0)
-    return gaussian_blur(x, sigma)
+    """iaa.BilateralBlur(d=(3,10), sigma_color=(10,250), sigma_space=(10,250))
+    as a TRUE bilateral filter (``bilateral_filter``, cv2-anchored test) with
+    a fixed d=5 window (the only fixed parameter; imgaug samples d too)."""
+    k1, k2 = jax.random.split(key)
+    b = x.shape[0]
+    sc = _u(k1, b, 10.0, 250.0)
+    ss = _u(k2, b, 10.0, 250.0)
+    return bilateral_filter(x, sc, ss, radius=2)
 
 
 BLUR_KINDS: List[Op] = [op_gaussian_blur, op_average_blur, op_median_blur,
@@ -760,16 +852,91 @@ def op_allchannels_histogram_equalization(key, x):
     return jnp.stack(chans, axis=-1)
 
 
+def clahe_gray(v: jnp.ndarray, clip_limit: jnp.ndarray,
+               grid=(8, 8)) -> jnp.ndarray:
+    """REAL tiled CLAHE with cv2 semantics (cv2-anchored test).
+
+    v: (B, H, W) in [0,1]; clip_limit: (B,) (cv2's clipLimit units).
+    8x8 tile grid: per-tile 256-bin histogram (one-hot matmul, no scatters),
+    cv2's exact clip + excess redistribution (batch increment + stepped
+    residual bins), LUT = round(cdf * 255 / tile_area), and bilinear
+    interpolation between the 4 neighboring tile LUTs per pixel — the LUT
+    lookup and the tile interpolation are einsums against the pixel one-hot,
+    so the whole op is matmul/VPU work.
+    """
+    b, h, w = v.shape
+    gh, gw = grid
+    th, tw = h // gh, w // gw
+    assert th * gh == h and tw * gw == w, (h, w, grid)
+    area = float(th * tw)
+    n_tiles = gh * gw
+    bins = jnp.clip(jnp.round(v * 255.0).astype(jnp.int32), 0, 255)
+    tiles = bins.reshape(b, gh, th, gw, tw).transpose(0, 1, 3, 2, 4)
+    tiles = tiles.reshape(b, n_tiles, th * tw)
+    oh_t = jax.nn.one_hot(tiles, 256, dtype=jnp.float32)  # (B, T, area, 256)
+    hist = oh_t.sum(axis=2)                               # (B, T, 256)
+
+    # cv2: clipLimit_ = max(int(clipLimit * area / 256), 1) — C truncation
+    clip = jnp.maximum(jnp.floor(clip_limit[:, None, None] * area / 256.0), 1.0)
+    excess = jnp.sum(jnp.maximum(hist - clip, 0.0), axis=-1, keepdims=True)
+    hist = jnp.minimum(hist, clip)
+    batch_incr = jnp.floor(excess / 256.0)
+    residual = excess - batch_incr * 256.0
+    hist = hist + batch_incr
+    # cv2 residual loop: step = max(256 // residual, 1); bins 0, step, 2*step,
+    # ... get +1 until the residual is used up
+    step = jnp.maximum(jnp.floor(256.0 / jnp.maximum(residual, 1.0)), 1.0)
+    iota = jnp.arange(256, dtype=jnp.float32)
+    bump = ((jnp.mod(iota, step) == 0.0)
+            & (jnp.floor(iota / step) < residual)).astype(jnp.float32)
+    hist = hist + bump
+
+    cdf = jnp.cumsum(hist, axis=-1)
+    lut = jnp.clip(jnp.round(cdf * (255.0 / area)), 0.0, 255.0)  # (B, T, 256)
+
+    # per-pixel LUT value for EVERY tile, then static bilinear tile weights
+    oh_p = jax.nn.one_hot(bins.reshape(b, -1), 256, dtype=jnp.float32)
+    vals = jnp.einsum("bpk,btk->bpt", oh_p, lut)          # (B, H*W, T)
+
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    tyf = ys / th - 0.5
+    txf = xs / tw - 0.5
+    y0 = np.floor(tyf).astype(np.int64)
+    x0 = np.floor(txf).astype(np.int64)
+    fy = (tyf - y0).astype(np.float32)
+    fx = (txf - x0).astype(np.float32)
+    wmat = np.zeros((h * w, n_tiles), np.float32)
+    flat = np.arange(h * w)
+    for oy, wy in ((0, 1.0 - fy), (1, fy)):
+        for ox, wx in ((0, 1.0 - fx), (1, fx)):
+            ty = np.clip(y0 + oy, 0, gh - 1)
+            tx = np.clip(x0 + ox, 0, gw - 1)
+            np.add.at(wmat, (flat, (ty * gw + tx).ravel()),
+                      (wy * wx).ravel())
+    out = jnp.einsum("bpt,pt->bp", vals, jnp.asarray(wmat))
+    return jnp.clip(jnp.round(out), 0.0, 255.0).reshape(b, h, w) / 255.0
+
+
 def op_clahe(key, x):
-    """iaa.CLAHE() — approximated by a 50% blend of luminance equalization
-    (clip-limited global, no 8x8 tiling; documented)."""
-    eq = op_histogram_equalization(key, x)
-    return 0.5 * x + 0.5 * eq
+    """iaa.CLAHE(clip_limit=(0.1, 8), 8x8 tiles): real tiled CLAHE
+    (``clahe_gray``) on the luminance channel with ratio rescale of RGB
+    (imgaug runs cv2 CLAHE on the Lab L channel; the intensity-channel
+    transfer is the remaining documented difference)."""
+    b = x.shape[0]
+    clip_limit = jax.random.uniform(key, (b,), minval=0.1, maxval=8.0)
+    y = _luma(x)[..., 0]
+    y_eq = clahe_gray(y, clip_limit)
+    ratio = (y_eq / jnp.maximum(y, 1e-3))[..., None]
+    return jnp.clip(x * ratio, 0, 1)
 
 
 def op_allchannels_clahe(key, x):
-    eq = op_allchannels_histogram_equalization(key, x)
-    return 0.5 * x + 0.5 * eq
+    """iaa.AllChannelsCLAHE(clip_limit=(0.1, 8)): real tiled CLAHE applied to
+    each RGB channel independently (cv2 semantics, cv2-anchored test)."""
+    b = x.shape[0]
+    clip_limit = jax.random.uniform(key, (b,), minval=0.1, maxval=8.0)
+    chans = [clahe_gray(x[..., c], clip_limit) for c in range(3)]
+    return jnp.stack(chans, axis=-1)
 
 
 CONTRAST_OPS: List[Op] = [

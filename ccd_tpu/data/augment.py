@@ -76,10 +76,9 @@ def _motion_blur(x: jnp.ndarray, rng, strength: float) -> jnp.ndarray:
 
 def photometric_augment(rng: jnp.ndarray, images: jnp.ndarray,
                         severity: int = 5) -> jnp.ndarray:
-    """The severity-5 photometric chain on (B, H, W, 3) float [0,1] images.
-
-    Exact structure of ``get_augmentation_pipeline(5)``
-    (``augmentation_pipelines.py:122-208``)::
+    """``get_augmentation_pipeline(severity)`` on (B, H, W, 3) float [0,1]
+    images — ALL six severities ported chain-for-chain
+    (``augmentation_pipelines.py:4-235``); severity 5 (the pretrain default)::
 
         Sometimes(0.2, Identity, Sequential[
             OneOf(21 arithmetic ops),            # always applied
@@ -88,26 +87,228 @@ def photometric_augment(rng: jnp.ndarray, images: jnp.ndarray,
             Sometimes(0.7, OneOf(8 contrast ops)),
             Sometimes(0.7, OneOf(4 weather ops)),
         ])
-
-    Severities other than 5 are unused by the shipped configs; they reuse
-    this chain with the family probability scaled by severity/5 (documented
-    approximation — the reference's severity 1-4 chains are simpler subsets).
     """
     from ccd_tpu.data import aug_ops as A
+    if severity == 1:
+        return _severity_1_3(rng, images, invert_p=0.5)
+    if severity == 2:
+        return _severity_2(rng, images)
+    if severity == 3:
+        return _severity_1_3(rng, images, invert_p=0.1)
+    if severity == 4:
+        return _severity_4(rng, images)
+    if severity == 6:
+        return _severity_6(rng, images)
+    if severity != 5:
+        raise NotImplementedError(
+            f"augmentation_severity={severity} is not supported")
     b = images.shape[0]
-    p_fam = 0.7 * min(severity / 5.0, 1.0)
     keys = jax.random.split(rng, 6)
     x = images
     x = A.one_of(keys[0], x, A.ARITHMETIC_OPS)
-    x = A.sometimes(keys[1], x, p_fam, lambda k, y: A.one_of(k, y, A.COLOR_OPS))
-    x = A.sometimes(keys[2], x, p_fam, A.blur_family)
-    x = A.sometimes(keys[3], x, p_fam,
+    x = A.sometimes(keys[1], x, 0.7, lambda k, y: A.one_of(k, y, A.COLOR_OPS))
+    x = A.sometimes(keys[2], x, 0.7, A.blur_family)
+    x = A.sometimes(keys[3], x, 0.7,
                     lambda k, y: A.one_of(k, y, A.CONTRAST_OPS))
-    x = A.sometimes(keys[4], x, p_fam,
+    x = A.sometimes(keys[4], x, 0.7,
                     lambda k, y: A.one_of(k, y, A.WEATHER_OPS))
     # iaa.Sometimes(0.2, Identity, <chain>): 20% keep the original
     keep = _gate(keys[5], b, 0.2)
     return _blend(x, images, keep)
+
+
+def _severity_1_3(rng: jnp.ndarray, images: jnp.ndarray,
+                  invert_p: float) -> jnp.ndarray:
+    """Severities 1 and 3 (identical but for Invert's p: 0.5 vs 0.1) —
+    ``augmentation_pipelines.py:10-39, 53-81``: Sequential[Invert,
+    OneOf(9 color), OneOf[Sharpen, OneOf(4 blurs)], OneOf(4 noise)]."""
+    from ccd_tpu.data import aug_ops as A
+    keys = jax.random.split(rng, 4)
+    color_ops = [
+        lambda k, y: A.op_channel_shuffle(k, y, p=0.35),
+        A.op_grayscale,
+        A.op_kmeans_color_quantization,
+        A.op_histogram_equalization,
+        lambda k, y: A.op_dropout(k, y, p_max=0.2),
+        A.op_gamma_contrast,
+        A.op_multiply_brightness,
+        A.op_add_hue_saturation,
+        A.op_change_color_temperature,
+    ]
+    noise_ops = [
+        A.op_emboss,
+        A.op_additive_gaussian,
+        A.op_impulse_noise,
+        lambda k, y: A.op_multiply_elementwise(k, y, p_per_channel=0.0),
+    ]
+    x = A.op_invert(keys[0], images, p=invert_p)
+    x = A.one_of(keys[1], x, color_ops)
+    x = A.blur_family(keys[2], x, kinds=A.BLUR_KINDS)  # no BilateralBlur
+    x = A.one_of(keys[3], x, noise_ops)
+    return x
+
+
+def _severity_2(rng: jnp.ndarray, images: jnp.ndarray) -> jnp.ndarray:
+    """Severity 2 — ``augmentation_pipelines.py:40-51``:
+    SomeOf((1, None), [LinearContrast, GaussianBlur, Crop(top/bottom 0-40%),
+    Crop(left/right 0-2%), Sharpen, ElasticTransformation(0-0.8, 0.25),
+    PerspectiveTransform(0.01-0.02)], random_order=True)."""
+    from ccd_tpu.data import aug_ops as A
+    ops = [
+        A.op_linear_contrast,
+        A.op_gaussian_blur,
+        lambda k, y: _op_crop(k, y, tb=(0.0, 0.4), lr=(0.0, 0.0)),
+        lambda k, y: _op_crop(k, y, tb=(0.0, 0.0), lr=(0.0, 0.02)),
+        A.op_sharpen,
+        _op_elastic,
+        _op_perspective,
+    ]
+    return A.some_of_random_order(rng, images, ops)
+
+
+def _severity_4(rng: jnp.ndarray, images: jnp.ndarray) -> jnp.ndarray:
+    """Severity 4 — ``augmentation_pipelines.py:83-121``: Sometimes(0.2,
+    Identity, Sequential[Sometimes(0.3, Invert(0.1)), Sometimes(0.6,
+    OneOf(11 color)), Sometimes(0.6, blur family), Sometimes(0.6,
+    OneOf(5 noise))])."""
+    from ccd_tpu.data import aug_ops as A
+    keys = jax.random.split(rng, 5)
+    color_ops = [
+        lambda k, y: A.op_channel_shuffle(k, y, p=0.35),
+        A.op_grayscale,
+        A.op_kmeans_color_quantization,
+        A.op_histogram_equalization,
+        A.op_clahe,
+        lambda k, y: A.op_dropout(k, y, p_max=0.1),
+        A.op_gamma_contrast,
+        A.op_linear_contrast,
+        A.op_multiply_brightness,
+        A.op_add_hue_saturation,
+        A.op_change_color_temperature,
+    ]
+    noise_ops = [
+        A.op_emboss,
+        lambda k, y: A.op_additive_gaussian(k, y, scale_max=0.1),
+        lambda k, y: A.op_impulse_noise(k, y, p=0.05),
+        lambda k, y: A.op_multiply_elementwise(k, y, p_per_channel=0.0),
+        lambda k, y: A.op_coarse_dropout(k, y, p=0.02, size_percent=0.5,
+                                         per_channel=0.0),
+    ]
+    x = A.sometimes(keys[0], images, 0.3,
+                    lambda k, y: A.op_invert(k, y, p=0.1))
+    x = A.sometimes(keys[1], x, 0.6, lambda k, y: A.one_of(k, y, color_ops))
+    x = A.sometimes(keys[2], x, 0.6,
+                    lambda k, y: A.blur_family(k, y, kinds=A.BLUR_KINDS))
+    x = A.sometimes(keys[3], x, 0.6, lambda k, y: A.one_of(k, y, noise_ops))
+    keep = _gate(keys[4], images.shape[0], 0.2)
+    return _blend(x, images, keep)
+
+
+def _severity_6(rng: jnp.ndarray, images: jnp.ndarray) -> jnp.ndarray:
+    """Severity 6 — ``augmentation_pipelines.py:210-232``: a flat
+    OneOf(17 color/contrast ops)."""
+    from ccd_tpu.data import aug_ops as A
+    ops = [
+        A.op_hue_add,
+        A.op_multiply_and_add_to_brightness,
+        A.op_multiply_hue_saturation,
+        A.op_hue_add_strong,
+        A.op_uniform_color_quantization,
+        lambda k, y: A.op_channel_shuffle(k, y, p=0.35),
+        A.op_grayscale,
+        A.op_kmeans_color_quantization,
+        A.op_histogram_equalization,
+        lambda k, y: A.op_dropout(k, y, p_max=0.2),
+        A.op_gamma_contrast,
+        A.op_multiply_brightness,
+        A.op_add_hue_saturation,
+        A.op_change_color_temperature,
+        A.op_sharpen,
+        A.op_clahe,
+        A.op_linear_contrast,
+    ]
+    return A.one_of(rng, images, ops)
+
+
+def _op_crop(key: jnp.ndarray, x: jnp.ndarray, tb=(0.0, 0.4),
+             lr=(0.0, 0.0)) -> jnp.ndarray:
+    """iaa.Crop(percent=..., keep_size=True): per-side integer-pixel crop +
+    resize back, realized as one bilinear grid_sample of the crop rectangle
+    (imgaug crops then cv2-resizes; same geometry, one resample)."""
+    b, h, w, _ = x.shape
+    k = jax.random.split(key, 4)
+    top = jnp.floor(jax.random.uniform(k[0], (b,), minval=tb[0],
+                                       maxval=tb[1]) * h)
+    bottom = jnp.floor(jax.random.uniform(k[1], (b,), minval=tb[0],
+                                          maxval=tb[1]) * h)
+    left = jnp.floor(jax.random.uniform(k[2], (b,), minval=lr[0],
+                                        maxval=lr[1]) * w)
+    right = jnp.floor(jax.random.uniform(k[3], (b,), minval=lr[0],
+                                         maxval=lr[1]) * w)
+    # in align_corners=False normalized coords the crop is the affine map
+    # src = s * out + t with s = (dim - a - b)/dim, t = (a - b)/dim
+    sy = (h - top - bottom) / h
+    ty = (top - bottom) / h
+    sx = (w - left - right) / w
+    tx = (left - right) / w
+    zeros = jnp.zeros_like(sx)
+    theta = jnp.stack([
+        jnp.stack([sx, zeros, tx], axis=-1),
+        jnp.stack([zeros, sy, ty], axis=-1),
+    ], axis=-2)
+    return grid_sample(x, affine_grid(theta, (h, w)))
+
+
+def _op_elastic(key: jnp.ndarray, x: jnp.ndarray, alpha=(0.0, 0.8),
+                sigma: float = 0.25) -> jnp.ndarray:
+    """iaa.ElasticTransformation(alpha=(0, 0.8), sigma=0.25): per-pixel
+    U(-1,1) displacement fields smoothed by a gaussian of the given sigma
+    (3-tap separable at sigma 0.25), scaled by alpha pixels, applied as a
+    sub-pixel warp."""
+    b, h, w, _ = x.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    a = jax.random.uniform(k1, (b, 1, 1, 1), minval=alpha[0], maxval=alpha[1])
+    disp = jax.random.uniform(k2, (b, h, w, 2), minval=-1.0, maxval=1.0)
+    wts = np.exp(-np.array([1.0, 0.0, 1.0]) / (2.0 * sigma * sigma))
+    wts = (wts / wts.sum()).astype(np.float32)
+
+    def blur1d(d, axis):
+        pad = [(0, 0)] * 4
+        pad[axis] = (1, 1)
+        dp = jnp.pad(d, pad, mode="edge")
+        n = d.shape[axis]
+        sl = [slice(None)] * 4
+        out = 0.0
+        for t in range(3):
+            s = list(sl)
+            s[axis] = slice(t, t + n)
+            out = out + wts[t] * dp[tuple(s)]
+        return out
+
+    disp = blur1d(blur1d(disp, 1), 2) * a
+    del k3
+    xs = (2.0 * jnp.arange(w, dtype=jnp.float32) + 1.0) / w - 1.0
+    ys = (2.0 * jnp.arange(h, dtype=jnp.float32) + 1.0) / h - 1.0
+    gx, gy = jnp.meshgrid(xs, ys)
+    base = jnp.broadcast_to(jnp.stack([gx, gy], -1), (b, h, w, 2))
+    scale = jnp.asarray([2.0 / w, 2.0 / h], jnp.float32)
+    return grid_sample(x, base + disp * scale)
+
+
+def _op_perspective(key: jnp.ndarray, x: jnp.ndarray,
+                    scale=(0.01, 0.02)) -> jnp.ndarray:
+    """iaa.PerspectiveTransform(scale=(0.01, 0.02)): corners jittered inward
+    by |N(0, s)| of the image size, 4-point homography, keep_size."""
+    b, h, w, _ = x.shape
+    k1, k2 = jax.random.split(key)
+    s = jax.random.uniform(k1, (b, 1, 1), minval=scale[0], maxval=scale[1])
+    jitter = jnp.abs(jax.random.normal(k2, (b, 4, 2))) * s * 2.0
+    src = jnp.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]])
+    sign = jnp.array([[[1.0, 1.0], [-1.0, 1.0], [-1.0, -1.0], [1.0, -1.0]]])
+    dst = src[None] + jitter * sign
+    hmat = jax.vmap(_solve_homography)(jnp.broadcast_to(src, (b, 4, 2)), dst)
+    from ccd_tpu.ops.warp import homography_grid
+    return grid_sample(x, homography_grid(hmat, (h, w)))
 
 
 def _normalize_matrix(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -218,6 +419,25 @@ def _elastic_grid(rng, b, h, w, scale) -> jnp.ndarray:
     return base + disp
 
 
+def _solve_homography(s: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """DLT: the 3x3 H mapping corner set ``d`` -> ``s`` (the output grid
+    samples the source), solved from the 8x8 linear system."""
+    rows = []
+    rhs = []
+    for i in range(4):
+        x, y = d[i, 0], d[i, 1]
+        u, v = s[i, 0], s[i, 1]
+        rows.append(jnp.array([x, y, 1, 0, 0, 0, 0, 0]) +
+                    jnp.concatenate([jnp.zeros(6), -u * d[i]]))
+        rows.append(jnp.concatenate([jnp.zeros(3),
+                                     jnp.array([x, y, 1.0]),
+                                     -v * d[i]]))
+        rhs.extend([u, v])
+    a = jnp.stack(rows)
+    h8 = jnp.linalg.solve(a, jnp.asarray(rhs))
+    return jnp.concatenate([h8, jnp.ones(1)]).reshape(3, 3)
+
+
 def _random_perspective(rng, b, h, w, distortion: float = 0.3) -> jnp.ndarray:
     """(B, 3, 3) normalized projective matrices from jittered corners
     (CVRandomPerspective-style). Solves the 4-point homography per sample."""
@@ -228,24 +448,7 @@ def _random_perspective(rng, b, h, w, distortion: float = 0.3) -> jnp.ndarray:
     sign = jnp.array([[[1.0, 1.0], [-1.0, 1.0], [-1.0, -1.0], [1.0, -1.0]]])
     dst = src[None] + jitter * sign  # corners move inward
 
-    # DLT: solve 8x8 for H mapping dst -> src (output grid samples the source)
-    def solve_one(s, d):
-        rows = []
-        rhs = []
-        for i in range(4):
-            x, y = d[i, 0], d[i, 1]
-            u, v = s[i, 0], s[i, 1]
-            rows.append(jnp.array([x, y, 1, 0, 0, 0, 0, 0]) +
-                        jnp.concatenate([jnp.zeros(6), -u * d[i]]))
-            rows.append(jnp.concatenate([jnp.zeros(3),
-                                         jnp.array([x, y, 1.0]),
-                                         -v * d[i]]))
-            rhs.extend([u, v])
-        a = jnp.stack(rows)
-        h8 = jnp.linalg.solve(a, jnp.asarray(rhs))
-        return jnp.concatenate([h8, jnp.ones(1)]).reshape(3, 3)
-
-    return jax.vmap(solve_one)(jnp.broadcast_to(src, (b, 4, 2)), dst)
+    return jax.vmap(_solve_homography)(jnp.broadcast_to(src, (b, 4, 2)), dst)
 
 
 @jax.jit
@@ -271,7 +474,9 @@ def supervised_augment(rng: jnp.ndarray, images: jnp.ndarray) -> jnp.ndarray:
     x = images
 
     # stage 1: Sometimes(0.6, Invert(0.1)) -> effective p = 0.06
-    x = A.sometimes(keys[0], x, 0.6, A.op_invert)
+    # (dataset_pretrain.py:81-83; op_invert's default p=0.15 is the pretrain
+    # arithmetic-OneOf rate, not this one)
+    x = A.sometimes(keys[0], x, 0.6, lambda k, y: A.op_invert(k, y, p=0.1))
 
     # stage 2 (p=0.8): OneOf over the big arithmetic+color+weather union
     # (dataset_pretrain.py:85-127 — Invert is NOT in this OneOf)

@@ -207,6 +207,124 @@ def test_edge_ops_alpha_zero_near_identity(imgs):
     assert emb.min() >= 0 and emb.max() <= 1
 
 
+def test_clahe_matches_cv2(imgs):
+    """clahe_gray vs cv2.createCLAHE on uint8 grayscale: same tiles, clip
+    arithmetic and bilinear tile interpolation — per-pixel agreement within
+    1 gray level (float-vs-int rounding in the interpolation)."""
+    import cv2
+
+    gray_u8 = np.asarray(
+        np.round(np.asarray(imgs)[..., 0] * 255.0), np.uint8)
+    for clip_limit in (2.0, 5.0, 40.0):
+        ours = np.asarray(A.clahe_gray(
+            jnp.asarray(gray_u8.astype(np.float32) / 255.0),
+            jnp.full((gray_u8.shape[0],), clip_limit))) * 255.0
+        ref = np.stack([
+            cv2.createCLAHE(clipLimit=clip_limit,
+                            tileGridSize=(8, 8)).apply(g)
+            for g in gray_u8
+        ]).astype(np.float32)
+        diff = np.abs(ours - ref)
+        assert diff.max() <= 1.0 + 1e-3, (clip_limit, diff.max())
+        assert (diff > 0.5).mean() < 0.02, (clip_limit, (diff > 0.5).mean())
+
+
+def test_bilateral_matches_cv2(imgs):
+    """bilateral_filter vs cv2.bilateralFilter(d=5) on uint8 RGB, interior
+    pixels (border mode differs: edge vs reflect)."""
+    import cv2
+
+    u8 = np.asarray(np.round(np.asarray(imgs) * 255.0), np.uint8)
+    sc, ss = 75.0, 40.0
+    b = u8.shape[0]
+    ours = np.asarray(A.bilateral_filter(
+        jnp.asarray(u8.astype(np.float32) / 255.0),
+        jnp.full((b, 1, 1, 1), sc), jnp.full((b, 1, 1, 1), ss))) * 255.0
+    ref = np.stack([
+        cv2.bilateralFilter(img, d=5, sigmaColor=sc, sigmaSpace=ss)
+        for img in u8
+    ]).astype(np.float32)
+    diff = np.abs(ours - ref)[:, 3:-3, 3:-3]
+    # cv2 rounds to uint8; agreement within half a gray level everywhere
+    assert diff.max() <= 0.5 + 1e-3, diff.max()
+
+
+def test_directed_edge_kernel_matches_imgaug_formula():
+    """directed_edge_kernel vs an independent numpy transcription of the
+    imgaug DirectedEdgeDetect matrix construction."""
+    rng = np.random.default_rng(3)
+    alphas = rng.random(16).astype(np.float32)
+    directions = rng.random(16).astype(np.float32)
+    got = np.asarray(A.directed_edge_kernel(jnp.asarray(alphas),
+                                            jnp.asarray(directions)))
+
+    for n, (alpha, direction) in enumerate(zip(alphas, directions)):
+        deg = int(direction * 360) % 360
+        rad = np.deg2rad(deg)
+        dvec = np.array([np.cos(rad - 0.5 * np.pi),
+                         np.sin(rad - 0.5 * np.pi)])
+        effect = np.zeros((3, 3))
+        for yy in (-1, 0, 1):
+            for xx in (-1, 0, 1):
+                if xx == 0 and yy == 0:
+                    continue
+                cell = np.array([xx, yy], np.float64)
+                cosang = np.clip(cell @ dvec / np.linalg.norm(cell), -1, 1)
+                dist = np.rad2deg(np.arccos(cosang)) / 180.0
+                effect[yy + 1, xx + 1] = (1.0 - dist) ** 4
+        effect = effect / effect.sum()
+        effect = effect * -1.0
+        effect[1, 1] = 1.0
+        nochange = np.zeros((3, 3))
+        nochange[1, 1] = 1.0
+        want = nochange * (1 - alpha) + effect * alpha
+        np.testing.assert_allclose(got[n], want, atol=2e-5, err_msg=str(n))
+
+
+def test_some_of_random_order_bounds():
+    """SomeOf((1, None)): every sample gets at least one op; op identities
+    are preserved (ops here are +1 and *2 so order matters and the result
+    must be reachable by some subset/order)."""
+    x = jnp.full((512, 2, 2, 3), 0.125)
+    ops = [lambda k, y: y + 1.0, lambda k, y: y * 2.0]
+    out = np.asarray(A.some_of_random_order(KEY, x, ops)).reshape(512, -1)
+    assert np.all(out == out[:, :1])  # spatially uniform
+    vals = set(np.round(out[:, 0], 4))
+    # reachable: +1 -> 1.125; *2 -> 0.25; +1 then *2 -> 2.25; *2 then +1 -> 1.25
+    assert vals <= {1.125, 0.25, 2.25, 1.25}, vals
+    assert 0.125 not in vals  # at least one op always applies
+    assert len(vals) >= 3     # subsets AND both orders occur
+
+
+def test_all_severity_chains_run(imgs):
+    """Severities 1/2/3/4/6 are ported chain-for-chain
+    (augmentation_pipelines.py:4-121, 210-232) — each must compile, produce
+    finite in-range output, and actually transform the batch."""
+    for sev in (1, 2, 3, 4, 6):
+        out = np.asarray(photometric_augment(jax.random.PRNGKey(sev), imgs,
+                                             severity=sev))
+        assert out.shape == imgs.shape
+        assert np.isfinite(out).all(), sev
+        assert -0.01 <= out.min() and out.max() <= 1.01, sev
+        assert not np.allclose(out, np.asarray(imgs)), sev
+    with pytest.raises(NotImplementedError):
+        photometric_augment(KEY, imgs, severity=7)
+
+
+def test_severity2_crop_geometry():
+    """The severity-2 vertical crop maps the kept rows across the full
+    height: cropping a horizontal stripe image moves content as cv2-resize
+    of the crop would."""
+    from ccd_tpu.data.augment import _op_crop
+    x = jnp.zeros((4, 32, 128, 3)).at[:, :16].set(1.0)  # top half white
+    out = np.asarray(_op_crop(jax.random.PRNGKey(1), x, tb=(0.25, 0.2500001),
+                              lr=(0.0, 0.0)))
+    # crop 8 rows top+bottom -> kept region rows 8..24, top half of which is
+    # white -> output top half stays white, bottom black
+    assert out[:, :14].mean() > 0.98
+    assert out[:, 18:].mean() < 0.02
+
+
 def test_photometric_identity_fraction():
     """iaa.Sometimes(0.2, Identity, chain): ~20% of samples unchanged.
 
