@@ -16,40 +16,45 @@ import jax.numpy as jnp
 import optax
 
 
-def weight_decay_mask(params: Any) -> Any:
+def weight_decay_mask(params: Any, norm_last_layer: bool = True) -> Any:
     """True = regularized. Mirrors get_params_groups: names ending in 'bias'
     and rank<=1 params (LayerNorm scales, biases) get no weight decay.
 
-    ``last_layer_g`` (the DINOHead weight-norm gain) is additionally excluded:
-    the reference freezes it with ``requires_grad=False`` when
-    ``norm_last_layer`` (vision_transformer.py:316-317), which drops it from
-    ``get_params_groups`` entirely — so torch never weight-decays it. With
-    optax, a zero gradient alone would NOT stop ``adamw`` from decaying it
-    away from its frozen value of 1."""
+    ``last_layer_g`` (the DINOHead weight-norm gain) is excluded only when
+    ``norm_last_layer``: the reference then freezes it with
+    ``requires_grad=False`` (vision_transformer.py:316-317), which drops it
+    from ``get_params_groups`` entirely — so torch never weight-decays it,
+    and with optax a zero gradient alone would NOT stop ``adamw`` from
+    decaying it away from its frozen value of 1. With
+    ``norm_last_layer=False`` (the shipped ViT-Small/Tiny configs) torch's
+    ``weight_g`` is a trainable ndim-2 param that get_params_groups DOES
+    regularize, so it must be decayed here too."""
     def keep(path, p):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        return (p.ndim > 1) and not name.endswith("bias") \
-            and name != "last_layer_g"
+        if name == "last_layer_g":
+            return not norm_last_layer
+        return (p.ndim > 1) and not name.endswith("bias")
     return jax.tree_util.tree_map_with_path(keep, params)
 
 
-def make_adamw(params: Any, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
-               ) -> optax.GradientTransformation:
+def make_adamw(params: Any, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+               norm_last_layer: bool = True) -> optax.GradientTransformation:
     """AdamW with injectable per-step lr/weight_decay and the reference's
     no-decay param grouping. Set ``opt_state.hyperparams['learning_rate']``
     and ``['weight_decay']`` each step."""
-    mask = weight_decay_mask(params)
+    mask = weight_decay_mask(params, norm_last_layer)
     return optax.inject_hyperparams(
         partial(optax.adamw, b1=b1, b2=b2, eps=eps, mask=mask)
     )(learning_rate=0.0, weight_decay=0.0)
 
 
-def make_optimizer(name: str, params: Any) -> optax.GradientTransformation:
+def make_optimizer(name: str, params: Any,
+                   norm_last_layer: bool = True) -> optax.GradientTransformation:
     """adamw / sgd / lars selection (train.py:132-137) with injectable
     lr/weight_decay hyperparams and the no-decay grouping for all three."""
-    mask = weight_decay_mask(params)
+    mask = weight_decay_mask(params, norm_last_layer)
     if name == "adamw":
-        return make_adamw(params)
+        return make_adamw(params, norm_last_layer=norm_last_layer)
     if name == "sgd":
         def sgd(learning_rate, weight_decay):
             return optax.chain(

@@ -60,7 +60,8 @@ def init_pretrain_state(rng: jnp.ndarray, student: CCDPretrainModel,
     # real copies — the teacher must not alias student buffers (donation safety)
     teacher_params = {"backbone": jax.tree.map(jnp.copy, student_params["backbone"]),
                       "head": jax.tree.map(jnp.copy, student_params["head"])}
-    tx = make_optimizer(optimizer, student_params)
+    tx = make_optimizer(optimizer, student_params,
+                        norm_last_layer=student.norm_last_layer)
     opt_state = tx.init(student_params)
     center = jnp.zeros((1, student.out_dim), jnp.float32)
     state = PretrainState(
