@@ -42,6 +42,14 @@ def main():
     parser.add_argument("--multi", type=int, default=8,
                         help="train iterations per dispatch (lax.scan; "
                              "amortizes the remote tunnel's launch latency)")
+    parser.add_argument("--cli", action="store_true",
+                        help="end-to-end pretrain throughput WITH the real "
+                             "host input pipeline (LMDB on disk -> decode/"
+                             "resize -> K-step dispatch)")
+    parser.add_argument("--predmask", action="store_true",
+                        help="pretrain throughput in the epoch>=30 regime: "
+                             "clusters from self-PREDICTED SegHead masks "
+                             "(specky), not GT masks")
     args = parser.parse_args()
 
     import numpy as np
@@ -80,6 +88,11 @@ def main():
     # tunnel costs ~2x the 63 ms device step, so both fusing the aug and
     # batching K steps per dispatch are needed to reach device-bound rate.
     k_steps = 1 if args.smoke else max(args.multi, 1)
+    # --predmask: epoch>=30 regime — clusters come from the self-predicted
+    # SegHead foreground (softmax > 0.5; dino_vision.py:63-70). With the
+    # randomly-initialized SegHead those masks are realistically SPECKY, so
+    # this exercises the adaptive flood-fill + exact-path component stats at
+    # their worst (round-2 VERDICT missing #3b).
     step = make_multi_pretrain_step(
         student, teacher, tx, severity=5,
         base_lr=5e-4 * batch / 256.0, min_lr=1e-6, total_iters=100_000,
@@ -87,9 +100,13 @@ def main():
         momentum_teacher=0.9995,
         teacher_temps=teacher_temp_schedule(0.04, 0.04, 0, 100),
         clip_grad=3.0, freeze_last_layer=1, global_batch=batch,
-        imgnet_based=1_000_000)
+        imgnet_based=1_000_000,
+        gt_mask_epochs=0 if args.predmask else 30)
 
     jstep = jax.jit(step, donate_argnums=(0,))
+
+    if args.cli:
+        return bench_cli(args, jstep, state, batch, k_steps)
 
     images_u8, masks, _ = make_synthetic_batch(batch, seed=0)
     raw = jnp.asarray(images_u8, jnp.float32) / 255.0
@@ -111,9 +128,73 @@ def main():
     elapsed = time.perf_counter() - start
 
     ips = batch * k_steps * args.steps / elapsed
+    if args.smoke:
+        metric = "pretrain_images_per_sec_smoke"
+    elif args.predmask:
+        metric = "pretrain_images_per_sec_per_chip_vit_small_predmask"
+    else:
+        metric = "pretrain_images_per_sec_per_chip_vit_small"
     print(json.dumps({
-        "metric": "pretrain_images_per_sec_per_chip_vit_small" if not args.smoke
-                  else "pretrain_images_per_sec_smoke",
+        "metric": metric,
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / ESTIMATED_3090_IMG_PER_SEC, 3),
+    }))
+
+
+def bench_cli(args, jstep, state, batch, k_steps):
+    """End-to-end pretrain throughput INCLUDING the real host input
+    pipeline: a synthetic LMDB on disk, the production PretrainDataset +
+    threaded DataLoader (decode + resize + mask threshold on the host), the
+    same batch staging as train.py, and the fused K-step dispatch. Reports
+    sustained img/s over >= 200 iterations — the number the pure-step
+    headline excludes (round-2 VERDICT missing #5)."""
+    import json
+    import os
+    import tempfile
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ccd_tpu.data.dataset import (PretrainDataset, build_dataset,
+                                      mask_env_path)
+    from ccd_tpu.data.pipeline import DataLoader, infinite_batches
+    from ccd_tpu.data.synthetic import write_synthetic_lmdb
+
+    tmp = tempfile.mkdtemp(prefix="ccd_bench_cli_")
+    root = os.path.join(tmp, "training", "SYNTH")
+    mask_root = os.path.join(tmp, "Mask")
+    write_synthetic_lmdb(root, 2048, seed=3, with_mask_lmdb=True,
+                         mask_path=mask_env_path(root, mask_root))
+    ds = build_dataset(PretrainDataset, [root], is_training=True,
+                       mask=True, mask_path=mask_root)
+    loader = DataLoader(ds, batch_size=batch, shuffle=True, drop_last=True,
+                        num_workers=8)
+    batches = infinite_batches(loader)
+
+    def next_chunk():
+        chunk = [next(batches) for _ in range(k_steps)]
+        raws = np.stack([c[0] for c in chunk]).astype(np.float32) / 255.0
+        masks = np.stack([c[1] for c in chunk])
+        return jnp.asarray(raws), jnp.asarray(masks)
+
+    # warmup/compile
+    for _ in range(2):
+        state, metrics = jstep(state, *next_chunk())
+    float(jax.device_get(metrics["loss"][-1]))
+
+    n_disp = max(args.steps, (200 + k_steps - 1) // k_steps)
+    start = time.perf_counter()
+    for _ in range(n_disp):
+        state, metrics = jstep(state, *next_chunk())
+    float(jax.device_get(metrics["loss"][-1]))
+    elapsed = time.perf_counter() - start
+
+    ips = batch * k_steps * n_disp / elapsed
+    print(json.dumps({
+        "metric": "pretrain_images_per_sec_per_chip_vit_small_cli_e2e",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / ESTIMATED_3090_IMG_PER_SEC, 3),
