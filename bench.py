@@ -160,7 +160,8 @@ def bench_cli(args, jstep, state, batch, k_steps):
 
     from ccd_tpu.data.dataset import (PretrainDataset, build_dataset,
                                       mask_env_path)
-    from ccd_tpu.data.pipeline import DataLoader, infinite_batches
+    from ccd_tpu.data.pipeline import (DataLoader, device_chunks,
+                                       infinite_batches)
     from ccd_tpu.data.synthetic import write_synthetic_lmdb
 
     tmp = tempfile.mkdtemp(prefix="ccd_bench_cli_")
@@ -172,23 +173,25 @@ def bench_cli(args, jstep, state, batch, k_steps):
                        mask=True, mask_path=mask_root)
     loader = DataLoader(ds, batch_size=batch, shuffle=True, drop_last=True,
                         num_workers=8)
-    batches = infinite_batches(loader)
 
-    def next_chunk():
-        chunk = [next(batches) for _ in range(k_steps)]
-        raws = np.stack([c[0] for c in chunk]).astype(np.float32) / 255.0
-        masks = np.stack([c[1] for c in chunk])
+    # the SAME staging as train.py: uint8 images+masks (4x less tunnel
+    # traffic; normalized on device) device_put ahead by a prefetch thread
+    def stage(chunk):
+        raws = np.stack([c[0] for c in chunk])                  # uint8
+        masks = np.stack([c[1] for c in chunk]).astype(np.uint8)
         return jnp.asarray(raws), jnp.asarray(masks)
+
+    staged = device_chunks(infinite_batches(loader), k_steps, stage)
 
     # warmup/compile
     for _ in range(2):
-        state, metrics = jstep(state, *next_chunk())
+        state, metrics = jstep(state, *next(staged))
     float(jax.device_get(metrics["loss"][-1]))
 
     n_disp = max(args.steps, (200 + k_steps - 1) // k_steps)
     start = time.perf_counter()
     for _ in range(n_disp):
-        state, metrics = jstep(state, *next_chunk())
+        state, metrics = jstep(state, *next(staged))
     float(jax.device_get(metrics["loss"][-1]))
     elapsed = time.perf_counter() - start
 

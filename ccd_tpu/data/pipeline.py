@@ -148,3 +148,32 @@ def infinite_batches(loader: DataLoader) -> Iterator[tuple]:
         loader.set_epoch(epoch)
         yield from loader
         epoch += 1
+
+
+def device_chunks(batches: Iterator[tuple], k_steps: int, stage: Callable,
+                  depth: int = 2) -> Iterator:
+    """Yield device-staged K-step chunks with ``depth`` transfers in flight.
+
+    ``stage(chunk: list[batch]) -> device pytree`` runs in a background
+    thread (np.stack + device_put), so host decode AND the host->device
+    transfer overlap with device compute — through the remote-dispatch
+    tunnel the transfer is long enough that staging it synchronously between
+    dispatches serializes the whole loop. Errors in the producer propagate
+    to the consumer."""
+    out_q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def producer():
+        while True:
+            try:
+                chunk = [next(batches) for _ in range(k_steps)]
+                out_q.put(("ok", stage(chunk)))
+            except BaseException as e:  # surface in the consumer thread
+                out_q.put(("err", e))
+                return
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        kind, item = out_q.get()
+        if kind == "err":
+            raise item
+        yield item

@@ -108,6 +108,9 @@ def make_fused_finetune_step(model: CCDRecognizer,
     inner = make_finetune_step(model, tx, **kwargs)
 
     def step(state: FinetuneState, images: jnp.ndarray, targets: jnp.ndarray):
+        # uint8 accepted; normalized on device (see make_fused_pretrain_step)
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         rng, key = jax.random.split(state.rng)
         x = aug_fn(key, images) if aug_fn is not None else images
         return inner(state.replace(rng=rng), normalize(x), targets)

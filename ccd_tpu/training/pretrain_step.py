@@ -237,6 +237,13 @@ def make_fused_pretrain_step(student, teacher, tx, *, severity: int = 5, **kwarg
     inner = make_pretrain_step(student, teacher, tx, **kwargs)
 
     def step(state: PretrainState, raw: jnp.ndarray, masks: jnp.ndarray):
+        # uint8 inputs are accepted and normalized ON DEVICE: through the
+        # remote-dispatch tunnel the host->device transfer is the e2e
+        # bottleneck, and uint8 images+masks are 4x smaller than float32
+        if raw.dtype == jnp.uint8:
+            raw = raw.astype(jnp.float32) / 255.0
+        if masks.dtype != jnp.float32:
+            masks = masks.astype(jnp.float32)
         rng, aug_key = jax.random.split(state.rng)
         views, theta = pretrain_views(aug_key, raw, severity=severity)
         return inner(state.replace(rng=rng), views, masks, theta)

@@ -271,3 +271,52 @@ def test_pretrain_bf16_tracks_fp32():
         drift = np.abs(np.asarray(va) - np.asarray(vb)).mean()
         scale = max(np.abs(np.asarray(va)).mean(), 0.05)
         assert drift / scale < 0.25, (jax.tree_util.keystr(pa), drift, scale)
+
+
+def test_fused_step_uint8_matches_f32():
+    """uint8 images/masks (the CLI's 4x-smaller tunnel transfers) must be
+    numerically equivalent to float32/255 inputs — the conversion happens on
+    device inside the fused step (ULP-level difference only: XLA lowers the
+    division as a multiply by the rounded reciprocal)."""
+    from ccd_tpu.training import make_fused_pretrain_step
+    student = CCDPretrainModel(arch="vit_micro", out_dim=64,
+                               with_seg_head=True)
+    teacher = CCDPretrainModel(arch="vit_micro", out_dim=64,
+                               with_seg_head=False)
+    state, tx = init_pretrain_state(jax.random.PRNGKey(8), student, teacher)
+    step = jax.jit(make_fused_pretrain_step(
+        student, teacher, tx, severity=5, base_lr=1e-3, min_lr=1e-6,
+        total_iters=50, warmup_iters=0, weight_decay=0.04,
+        weight_decay_end=0.4, momentum_teacher=0.999,
+        teacher_temps=teacher_temp_schedule(0.04, 0.04, 0, 5),
+        clip_grad=3.0, freeze_last_layer=1, global_batch=4,
+        imgnet_based=10_000))
+    rng = np.random.default_rng(6)
+    raw_u8 = rng.integers(0, 256, size=(4, 32, 128, 3)).astype(np.uint8)
+    masks = np.zeros((4, 32, 128), np.uint8)
+    masks[:, 8:24, 20:50] = 1
+    s_f32, m_f32 = step(jax.tree.map(jnp.copy, state),
+                        jnp.asarray(raw_u8.astype(np.float32) / 255.0),
+                        jnp.asarray(masks.astype(np.float32)))
+    s_u8, m_u8 = step(jax.tree.map(jnp.copy, state),
+                      jnp.asarray(raw_u8), jnp.asarray(masks))
+    np.testing.assert_allclose(float(m_f32["loss"]), float(m_u8["loss"]),
+                               rtol=1e-5)
+    # params: AdamW's first-step update is ~sign(g)*lr, so the ULP-level
+    # input difference can flip near-zero gradients by +/-2*lr on scattered
+    # elements — bound the magnitude, and require the SECOND step's loss to
+    # still agree (no divergence beyond that noise floor)
+    lr = 1e-3
+    for (pa, va), (pb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(
+                jax.device_get(s_f32.student_params)),
+            jax.tree_util.tree_leaves_with_path(
+                jax.device_get(s_u8.student_params))):
+        assert pa == pb
+        diff = np.abs(np.asarray(va, np.float32) - np.asarray(vb, np.float32))
+        assert diff.max() <= 3 * lr, (jax.tree_util.keystr(pa), diff.max())
+    _, m_f32b = step(s_f32, jnp.asarray(raw_u8.astype(np.float32) / 255.0),
+                     jnp.asarray(masks.astype(np.float32)))
+    _, m_u8b = step(s_u8, jnp.asarray(raw_u8), jnp.asarray(masks))
+    np.testing.assert_allclose(float(m_f32b["loss"]), float(m_u8b["loss"]),
+                               rtol=1e-3)

@@ -66,7 +66,8 @@ def main():
     from ccd_tpu.builders import build_pretrain_models
     from ccd_tpu.checkpoints.orbax_io import CheckpointManager
     from ccd_tpu.data.dataset import PretrainDataset, build_dataset
-    from ccd_tpu.data.pipeline import DataLoader, infinite_batches
+    from ccd_tpu.data.pipeline import (DataLoader, device_chunks,
+                                       infinite_batches)
     from ccd_tpu.losses import teacher_temp_schedule
     from ccd_tpu.parallel import (data_mesh, replicated_sharding,
                                   shard_stacked_batch)
@@ -163,7 +164,17 @@ def main():
         writer = None
 
     metric_logger = MetricLogger(delimiter="  ")
-    batches = infinite_batches(loader)
+
+    # background staging: uint8 images+masks (4x less tunnel traffic than
+    # f32; normalized on device inside the step) device_put ahead of the
+    # loop so decode + transfer overlap device compute
+    def stage(chunk):
+        raws = np.stack([c[0] for c in chunk])                  # uint8
+        masks_np = np.stack([c[1] for c in chunk]).astype(np.uint8)
+        return shard_stacked_batch(
+            (jnp.asarray(raws), jnp.asarray(masks_np)), mesh)
+
+    staged = device_chunks(infinite_batches(loader), k_steps, stage)
     iteration = int(jax.device_get(state.iteration))
     global_epoch = 0
     start = time.time()
@@ -188,12 +199,8 @@ def main():
             jax.profiler.start_trace(args.profile_dir)
         if args.profile_dir and 10 + k_steps <= iteration < 10 + 2 * k_steps:
             jax.profiler.stop_trace()
-        # stack K host batches per dispatch (shape-stable: always K)
-        chunk = [next(batches) for _ in range(k_steps)]
-        raws = np.stack([c[0] for c in chunk]).astype(np.float32) / 255.0
-        masks_np = np.stack([c[1] for c in chunk])
-        raws, masks_d = shard_stacked_batch(
-            (jnp.asarray(raws), jnp.asarray(masks_np)), mesh)
+        # K host batches per dispatch, staged ahead by the prefetch thread
+        raws, masks_d = next(staged)
         state, metrics = jstep(state, raws, masks_d)
         iteration += k_steps
 

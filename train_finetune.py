@@ -104,7 +104,8 @@ def main():
     from ccd_tpu.checkpoints.orbax_io import (CheckpointManager,
                                               restore_pytree, save_pytree)
     from ccd_tpu.data.dataset import SupervisedDataset, build_dataset
-    from ccd_tpu.data.pipeline import DataLoader, infinite_batches
+    from ccd_tpu.data.pipeline import (DataLoader, device_chunks,
+                                       infinite_batches)
     from ccd_tpu.data.augment import (abinet_augment, normalize,
                                       supervised_augment)
     from ccd_tpu.evaluation.runner import evaluate_benchmarks
@@ -264,7 +265,15 @@ def main():
 
     loss_avg = Averager()
     pending = []
-    batches = infinite_batches(train_loader)
+
+    # background staging: uint8 images (normalized on device), targets int32
+    def stage(chunk):
+        raws = np.stack([c[0] for c in chunk])                  # uint8
+        tgts = np.stack([c[1] for c in chunk])
+        return shard_stacked_batch((jnp.asarray(raws), jnp.asarray(tgts)),
+                                   mesh)
+
+    staged = device_chunks(infinite_batches(train_loader), k_steps, stage)
     start = time.time()
     n_steps = min(total_iters, args.max_iters or total_iters)
     if args.max_iters and args.max_iters > total_iters:
@@ -283,11 +292,7 @@ def main():
             f"actual iteration count")
     iteration = int(jax.device_get(state.iteration))
     while iteration < n_steps:
-        chunk = [next(batches) for _ in range(k_steps)]
-        raws = np.stack([c[0] for c in chunk]).astype(np.float32) / 255.0
-        tgts = np.stack([c[1] for c in chunk])
-        batch = shard_stacked_batch((jnp.asarray(raws), jnp.asarray(tgts)),
-                                    mesh)
+        batch = next(staged)
         state, metrics = jstep(state, *batch)
         pending.append(metrics["loss"])  # (K,) device array; fetched at log
         iteration += k_steps
@@ -304,7 +309,8 @@ def main():
             if writer:
                 writer.add_scalar("metric/train_loss", loss_avg.val(), iteration)
                 writer.add_scalar("metric/lr", lr, iteration)
-                images_d = normalize(jnp.asarray(raws[-1]))
+                images_d = normalize(
+                    batch[0][-1].astype(jnp.float32) / 255.0)
                 _log_attention_maps(writer, viz_attn, state.params, images_d,
                                     iteration)
             loss_avg.reset()
