@@ -50,6 +50,10 @@ def main():
                         help="pretrain throughput in the epoch>=30 regime: "
                              "clusters from self-PREDICTED SegHead masks "
                              "(specky), not GT masks")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of 2 timed "
+                             "dispatches into this dir (parse with "
+                             "tools/profile_report.py)")
     args = parser.parse_args()
 
     import numpy as np
@@ -120,6 +124,13 @@ def main():
     for i in range(2):
         state, metrics = jstep(state, raws, masks_d)
     float(jax.device_get(metrics["loss"][-1]))
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+        for _ in range(2):
+            state, metrics = jstep(state, raws, masks_d)
+        float(jax.device_get(metrics["loss"][-1]))
+        jax.profiler.stop_trace()
 
     start = time.perf_counter()
     for i in range(args.steps):

@@ -99,8 +99,16 @@ def grid_sample(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
 
     Zero padding for out-of-bounds, align_corners=False:
     ``src = (g + 1) * S / 2 - 0.5``.
+
+    Dispatches to the dense-einsum formulation for small images (the 32x128
+    text-recognition shapes): TPU gathers cost ~2.2-2.8 ms per 512k indices
+    (README op-selection rules) and the two warp call sites in the fused
+    pretrain step were 21 ms/step of the 160 ms profile; the einsum path is
+    MXU work at ~1-2 ms for the same exact result.
     """
     b, h, w, c = x.shape
+    if h * w <= 4096:
+        return _grid_sample_dense(x, grid)
     gx = (grid[..., 0] + 1.0) * w / 2.0 - 0.5  # (B, Ho, Wo)
     gy = (grid[..., 1] + 1.0) * h / 2.0 - 0.5
 
@@ -128,3 +136,38 @@ def grid_sample(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
         + tap(y0 + 1, x0 + 1, fx * fy)
     )
     return out
+
+
+def _grid_sample_dense(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free bilinear sampling via two dense contractions.
+
+    2-D bilinear interpolation is separable::
+
+        out[b,i,j,c] = sum_y K(sy-y) * sum_x K(sx-x) * img[b,y,x,c]
+
+    with the hat kernel ``K(d) = max(0, 1-|d|)``, which reproduces the 4-tap
+    zero-padding sampler EXACTLY (out-of-range source positions get zero
+    weight on every pixel; a position within one pixel of the border keeps
+    the partial weight of the in-bounds tap). The x-contraction is a
+    (B, Ho*Wo, W) x (B, W, H*C) batched matmul — regular MXU work instead
+    of a serialized gather stream. fp32 weights + HIGHEST precision keep the
+    result at fp32-parity with torch ``F.grid_sample`` (the einsum would
+    otherwise drop to bf16 on TPU).
+    """
+    b, h, w, c = x.shape
+    ho, wo = grid.shape[1], grid.shape[2]
+    dt = jnp.promote_types(x.dtype, jnp.float32)
+    gx = ((grid[..., 0] + 1.0) * w / 2.0 - 0.5).astype(dt)   # (B, Ho, Wo)
+    gy = ((grid[..., 1] + 1.0) * h / 2.0 - 0.5).astype(dt)
+    kx = jnp.maximum(0.0, 1.0 - jnp.abs(
+        gx[..., None] - jnp.arange(w, dtype=dt)))             # (B, Ho, Wo, W)
+    ky = jnp.maximum(0.0, 1.0 - jnp.abs(
+        gy[..., None] - jnp.arange(h, dtype=dt)))             # (B, Ho, Wo, H)
+    # contract x: for every output pixel, blend the two x-neighbor columns
+    # of ALL H rows at once -> (B, Ho, Wo, H, C)
+    t = jnp.einsum("bijx,byxc->bijyc", kx, x.astype(dt),
+                   precision=jax.lax.Precision.HIGHEST)
+    # contract y: per-output-pixel 2-tap blend over the H axis
+    out = jnp.einsum("bijy,bijyc->bijc", ky, t,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.astype(x.dtype)

@@ -73,6 +73,44 @@ def test_affine_grid_and_sample_match_torch():
     np.testing.assert_allclose(np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=1e-4)
 
 
+def test_grid_sample_dense_matches_gather_path():
+    """The dense-einsum bilinear sampler (TPU hot path for h*w<=4096) must be
+    numerically identical to the 4-tap gather sampler for arbitrary grids,
+    including far out-of-bounds positions (zero padding) and exact-integer
+    source coordinates."""
+    from ccd_tpu.ops.warp import _grid_sample_dense
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((3, 32, 128, 4)), jnp.float32)
+    # wildly out-of-bounds grid plus a band of exact pixel-center coords
+    g = rng.uniform(-1.9, 1.9, (3, 32, 128, 2)).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(32.0), np.arange(128.0), indexing="ij")
+    g[:, :8, :, 0] = (xs[:8] + 0.5) * 2 / 128 - 1
+    g[:, :8, :, 1] = (ys[:8] + 0.5) * 2 / 32 - 1
+    g = jnp.asarray(g)
+
+    dense = _grid_sample_dense(x, g)
+    x_t = torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2))
+    ref = F.grid_sample(x_t, torch.from_numpy(np.asarray(g)), mode="bilinear",
+                        padding_mode="zeros", align_corners=False).numpy()
+    np.testing.assert_allclose(np.asarray(dense).transpose(0, 3, 1, 2), ref,
+                               atol=1e-5)
+    # identity rows reproduce the input bit-for-bit
+    np.testing.assert_array_equal(np.asarray(dense[:, :8]), np.asarray(x[:, :8]))
+
+    # a >4096-pixel input takes the gather path through the public API; it
+    # must agree with torch too (multiscale 48x160+ images use this path)
+    xb = jnp.asarray(rng.random((2, 48, 160, 3)), jnp.float32)
+    gb = jnp.asarray(rng.uniform(-1.5, 1.5, (2, 48, 160, 2)), np.float32)
+    out_b = grid_sample(xb, gb)
+    ref_b = F.grid_sample(
+        torch.from_numpy(np.asarray(xb).transpose(0, 3, 1, 2)),
+        torch.from_numpy(np.asarray(gb)), mode="bilinear",
+        padding_mode="zeros", align_corners=False).numpy()
+    np.testing.assert_allclose(np.asarray(out_b).transpose(0, 3, 1, 2), ref_b,
+                               atol=1e-5)
+
+
 # ------------------------------------------------------------------ CC labeling
 
 def _bfs_label_reference(mask, num_slots=26, min_area=30):
