@@ -88,13 +88,16 @@ class Attention(nn.Module):
 
         # fused Pallas path: the (B,H,N,N) probabilities never touch HBM.
         # Exactly equivalent when attention dropout is inactive and the
-        # weights aren't requested (ViT configs use attn_drop=0).
+        # weights aren't requested (ViT configs use attn_drop=0). The packed
+        # variant consumes the Dense output layout directly — no physical
+        # (B,N,H,D)<->(B*H,N,D) transposes (~15 ms/step of the ViT-S
+        # pretrain profile; transposes move at ~1/3 of copy bandwidth).
         flash_ok = (self.use_flash and not need_weights
                     and (self.attn_drop == 0.0 or deterministic)
                     and jax.default_backend() == "tpu")
         if flash_ok:
-            from ccd_tpu.ops.flash_attention import mha
-            out = mha(q, k, v, scale).reshape(b, n, c)
+            from ccd_tpu.ops.flash_attention import mha_packed
+            out = mha_packed(qkv, scale)  # (B, N, C)
             attn = None
         else:
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale

@@ -71,3 +71,28 @@ def test_mha_layout_roundtrip():
     ref = jax.nn.softmax(ref, axis=-1).astype(q.dtype)
     ref = jnp.einsum("bhqk,bkhd->bqhd", ref, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_mha_packed_matches_einsum_value_and_grad():
+    """The packed-qkv kernel (production ViT attention path) must match the
+    per-head einsum reference for value AND the full qkv cotangent."""
+    rng = np.random.default_rng(3)
+    b, s, h, d = 2, 32, 3, 8
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3, h, d)), jnp.float32)
+    scale = d ** -0.5
+
+    def ref(qkv):
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        a = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        p = jax.nn.softmax(a, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, s, h * d)
+
+    out = fa.mha_packed(qkv, scale)
+    assert out.shape == (b, s, h * d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(qkv)),
+                               atol=2e-5)
+
+    co = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    gp = jax.grad(lambda x: jnp.sum(fa.mha_packed(x, scale) * co))(qkv)
+    gr = jax.grad(lambda x: jnp.sum(ref(x) * co))(qkv)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=3e-5)
