@@ -20,6 +20,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from ccd_tpu.ops.activations import gelu as _gelu
 from jax import lax
 
 Dtype = Any
@@ -27,8 +29,6 @@ Dtype = Any
 _dense_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
 
-def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
 
 
 class DINOHead(nn.Module):

@@ -22,6 +22,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from ccd_tpu.ops.activations import gelu as _gelu
 from jax import lax
 
 Dtype = Any
@@ -30,8 +32,6 @@ _dense_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.
 _NEG_INF = -1e30
 
 
-def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
 
 
 def sinusoid_table(n_position: int, d_hid: int) -> np.ndarray:

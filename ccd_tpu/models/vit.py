@@ -22,15 +22,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ccd_tpu.ops.activations import gelu as _gelu
 from ccd_tpu.ops.image import resize_bicubic
 
 Dtype = Any
 
 _dense_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
-
-
-def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
 
 
 class DropPath(nn.Module):

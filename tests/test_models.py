@@ -232,3 +232,24 @@ def test_sinkhorn_teacher_assignment():
     assert q.shape == (12, 16)
     np.testing.assert_allclose(q.sum(-1), 1.0, atol=1e-4)  # rows are assignments
     assert (q >= 0).all()
+
+
+def test_gelu_dtype_gating():
+    """fp32 paths keep torch's exact-erf GELU; the bf16 production path uses
+    the tanh form (a measured 2x VPU saving, tools/tpu_calibrate.py) whose
+    deviation from erf stays within ~bf16 rounding."""
+    from ccd_tpu.ops.activations import gelu
+
+    x32 = jnp.linspace(-4.0, 4.0, 101, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(gelu(x32)),
+        np.asarray(jax.nn.gelu(x32, approximate=False)))
+    xb = x32.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(gelu(xb), np.float32),
+        np.asarray(jax.nn.gelu(xb, approximate=True), np.float32))
+    # approximation error proper: tanh-vs-erf on the SAME bf16-rounded inputs
+    xup = xb.astype(jnp.float32)
+    dev = np.max(np.abs(np.asarray(jax.nn.gelu(xup, approximate=True))
+                        - np.asarray(jax.nn.gelu(xup, approximate=False))))
+    assert dev < 4e-3, dev
