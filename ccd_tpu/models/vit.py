@@ -64,6 +64,30 @@ class Mlp(nn.Module):
         return x
 
 
+class _QKVDense(nn.Module):
+    """``nn.Dense`` twin that returns ``(x @ kernel, bias)`` WITHOUT adding
+    the bias. The packed attention kernel adds it inside VMEM — XLA cannot
+    fuse a bias add into an opaque ``pallas_call``, so adding it on the
+    graph costs a full (B, N, 3C) HBM round-trip (~4 ms/step in the ViT-S
+    pretrain profile). Parameter tree and initialization are identical to
+    ``nn.Dense(name="qkv")`` for checkpoint/converter parity."""
+
+    features: int
+    use_bias: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", _dense_init,
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros_init(),
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        return x @ kernel, bias
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int = 8
@@ -78,25 +102,31 @@ class Attention(nn.Module):
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, kernel_init=_dense_init,
-                       dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+        qkv, qkv_bias = _QKVDense(self.dim * 3, use_bias=self.qkv_bias,
+                                  dtype=self.dtype, name="qkv")(x)
 
         # fused Pallas path: the (B,H,N,N) probabilities never touch HBM.
         # Exactly equivalent when attention dropout is inactive and the
         # weights aren't requested (ViT configs use attn_drop=0). The packed
-        # variant consumes the Dense output layout directly — no physical
-        # (B,N,H,D)<->(B*H,N,D) transposes (~15 ms/step of the ViT-S
-        # pretrain profile; transposes move at ~1/3 of copy bandwidth).
+        # kernel consumes the raw Dense output (B,N,3C) and emits (B,N,C) —
+        # no physical (B,N,H,D)<->(B*H,N,D) transposes (~15 ms/step of the
+        # ViT-S pretrain profile; transposes move at ~1/3 of copy bandwidth).
         flash_ok = (self.use_flash and not need_weights
                     and (self.attn_drop == 0.0 or deterministic)
                     and jax.default_backend() == "tpu")
         if flash_ok:
-            from ccd_tpu.ops.flash_attention import mha_packed
-            out = mha_packed(qkv, scale)  # (B, N, C)
+            from ccd_tpu.ops.flash_attention import (mha_packed,
+                                                     mha_packed_bias)
+            if qkv_bias is None:
+                out = mha_packed(qkv, scale, self.num_heads)  # (B, N, C)
+            else:
+                out = mha_packed_bias(qkv, qkv_bias, scale, self.num_heads)
             attn = None
         else:
+            if qkv_bias is not None:
+                qkv = qkv + qkv_bias
+            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)

@@ -120,26 +120,37 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
 
 # --------------------------------------------------------------- packed layout
 #
-# The `mha` wrapper physically transposes q/k/v/out between the (B, S, H, D)
-# layout the qkv Dense produces and the (B*H, S, D) layout the kernel wants —
-# ~15 ms/step of pure layout traffic in the 160 ms ViT-Small pretrain profile
-# (transposes run at ~171 GB/s vs the chip's ~463 GB/s copy rate). The packed
-# variant instead feeds the Dense output (B, S, 3, H, D) — a FREE reshape —
-# to a kernel gridded over B alone with fully CONTIGUOUS blocks. Per-head
-# q/k/v are static VMEM slices; per-head outputs are lane-concatenated into
-# one (S, H*D) store (Mosaic cannot store through a strided head slice, but a
-# full-block store of the concat is a plain 2-D write). The output is the
-# (B, S, C) array the proj Dense consumes — no layout change in either
-# direction, and the backward returns dq/dk/dv as three such arrays that XLA
-# stacks straight into the qkv Dense's cotangent.
+# The `mha` wrapper physically transposes q/k/v/out between the (B, S, C)
+# layout the qkv Dense produces and the (B*H, S, D) layout the folded kernel
+# wants — ~15 ms/step of pure layout traffic in the ViT-Small pretrain
+# profile (transposes move at ~171 GB/s vs the chip's ~463 GB/s copy rate).
+# The packed variant feeds the RAW Dense output (B, S, 3C) to a kernel
+# gridded over B with fully contiguous 2-D blocks and slices per-head q/k/v
+# on the LANE axis inside VMEM. Lane slices keep S on sublanes — no vector
+# relayout at all (an earlier 5-D formulation that sliced heads through a
+# (1,S,3,H,D) block paid a ~1.8x in-kernel relayout tax: 71.2 vs 39.5 ms on
+# the 12-block fwd+bwd microbench; Mosaic rejects strided per-head STORES
+# entirely, so outputs are lane-concatenated into one full-block store).
+# The output is the (B, S, C) array the proj Dense consumes, and the
+# backward emits the (B, S, 3C) cotangent of the Dense output directly —
+# no layout change anywhere in either direction.
+#
+# Channel order within 3C matches torch's qkv packing: [q h0..hH | k h0..hH
+# | v h0..hH], each head D wide (``vision_transformer.py:160-167``).
 
 
-def _packed_fwd_kernel(qkv_ref, o_ref, *, scale: float, heads: int):
+def _packed_fwd_kernel(qkv_ref, bias_ref, o_ref, *, scale: float,
+                       heads: int, d: int):
+    # bias is added HERE (one VPU add over the VMEM block): the qkv Dense
+    # cannot fuse its bias into an opaque pallas consumer, so doing it on
+    # the host graph cost a full (B,S,3C) HBM round-trip (~4 ms/step).
+    blk = qkv_ref[0] + bias_ref[0]  # (S, 3C)
+    c = heads * d
     outs = []
     for h in range(heads):
-        q = qkv_ref[0, :, 0, h, :]  # (S, D) static slice
-        k = qkv_ref[0, :, 1, h, :]
-        v = qkv_ref[0, :, 2, h, :]
+        q = blk[:, 0 * c + h * d:0 * c + (h + 1) * d]  # (S, D) lane slice
+        k = blk[:, 1 * c + h * d:1 * c + (h + 1) * d]
+        v = blk[:, 2 * c + h * d:2 * c + (h + 1) * d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s - jnp.max(s, axis=-1, keepdims=True)
@@ -150,14 +161,15 @@ def _packed_fwd_kernel(qkv_ref, o_ref, *, scale: float, heads: int):
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-def _packed_bwd_kernel(qkv_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                       scale: float, heads: int):
-    d = qkv_ref.shape[-1]
+def _packed_bwd_kernel(qkv_ref, bias_ref, do_ref, dqkv_ref, *, scale: float,
+                       heads: int, d: int):
+    blk = qkv_ref[0] + bias_ref[0]
+    c = heads * d
     dqs, dks, dvs = [], [], []
     for h in range(heads):
-        q = qkv_ref[0, :, 0, h, :]
-        k = qkv_ref[0, :, 1, h, :]
-        v = qkv_ref[0, :, 2, h, :]
+        q = blk[:, 0 * c + h * d:0 * c + (h + 1) * d]
+        k = blk[:, 1 * c + h * d:1 * c + (h + 1) * d]
+        v = blk[:, 2 * c + h * d:2 * c + (h + 1) * d]
         do = do_ref[0, :, h * d:(h + 1) * d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
@@ -174,55 +186,72 @@ def _packed_bwd_kernel(qkv_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         dvs.append(jax.lax.dot_general(p.astype(q.dtype), do,
                                        (((0,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32))
-    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
-    dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
-    dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+    dqkv_ref[0] = jnp.concatenate(
+        dqs + dks + dvs, axis=-1).astype(dqkv_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def mha_packed(qkv: jnp.ndarray, scale: float) -> jnp.ndarray:
-    """Fused attention on packed qkv (B, S, 3, H, D) -> (B, S, H*D)."""
-    return _packed_forward(qkv, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def mha_packed_bias(qkv: jnp.ndarray, bias: jnp.ndarray, scale: float,
+                    heads: int) -> jnp.ndarray:
+    """Fused attention on the raw UNBIASED qkv projection (B, S, 3C) plus
+    its bias (3C,) -> (B, S, C). The bias add happens inside the kernel."""
+    return _packed_forward(qkv, bias, scale, heads)
 
 
-def _packed_forward(qkv, scale):
-    b, s, three, h, d = qkv.shape
-    in_spec = pl.BlockSpec((1, s, 3, h, d), lambda i: (i, 0, 0, 0, 0),
+def mha_packed(qkv: jnp.ndarray, scale: float, heads: int) -> jnp.ndarray:
+    """Fused attention on the raw (already-biased) qkv Dense output
+    (B, S, 3C) -> (B, S, C)."""
+    return mha_packed_bias(qkv, jnp.zeros((qkv.shape[-1],), qkv.dtype),
+                           scale, heads)
+
+
+def _packed_forward(qkv, bias, scale, heads):
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    in_spec = pl.BlockSpec((1, s, c3), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, s, h * d), lambda i: (i, 0, 0),
+    bias_spec = pl.BlockSpec((1, c3), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, s, c), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_packed_fwd_kernel, scale=scale, heads=h),
+        functools.partial(_packed_fwd_kernel, scale=scale, heads=heads,
+                          d=c // heads),
         grid=(b,),
-        in_specs=[in_spec],
+        in_specs=[in_spec, bias_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b, s, h * d), qkv.dtype),
-    )(qkv)
+        out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+    )(qkv, bias.reshape(1, c3).astype(qkv.dtype))
 
 
-def _packed_fwd_rule(qkv, scale):
-    return _packed_forward(qkv, scale), (qkv,)
+def _packed_fwd_rule(qkv, bias, scale, heads):
+    return _packed_forward(qkv, bias, scale, heads), (qkv, bias)
 
 
-def _packed_bwd_rule(scale, res, do):
-    (qkv,) = res
-    b, s, three, h, d = qkv.shape
-    in_spec = pl.BlockSpec((1, s, 3, h, d), lambda i: (i, 0, 0, 0, 0),
+def _packed_bwd_rule(scale, heads, res, do):
+    qkv, bias = res
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    in_spec = pl.BlockSpec((1, s, c3), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    flat_spec = pl.BlockSpec((1, s, h * d), lambda i: (i, 0, 0),
+    bias_spec = pl.BlockSpec((1, c3), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
-    flat = jax.ShapeDtypeStruct((b, s, h * d), qkv.dtype)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_packed_bwd_kernel, scale=scale, heads=h),
+    do_spec = pl.BlockSpec((1, s, c), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dqkv = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, scale=scale, heads=heads,
+                          d=c // heads),
         grid=(b,),
-        in_specs=[in_spec, flat_spec],
-        out_specs=(flat_spec, flat_spec, flat_spec),
-        out_shape=(flat, flat, flat),
-    )(qkv, do)
-    # (B, S, 3, H, D) cotangent for the free reshape of the Dense output;
-    # XLA fuses the stack into the qkv projection's backward dot.
-    dqkv = jnp.stack([dq, dk, dv], axis=2).reshape(b, s, 3, h, d)
-    return (dqkv,)
+        in_specs=[in_spec, bias_spec, do_spec],
+        out_specs=in_spec,
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+    )(qkv, bias.reshape(1, c3).astype(qkv.dtype), do)
+    # d(bias) is the row-sum of the qkv cotangent (additive bias); when the
+    # caller discards it (mha_packed's zero bias) XLA dead-code-eliminates
+    # the reduction.
+    dbias = jnp.sum(dqkv.astype(jnp.float32),
+                    axis=(0, 1)).astype(bias.dtype)
+    return (dqkv, dbias)
 
 
-mha_packed.defvjp(_packed_fwd_rule, _packed_bwd_rule)
+mha_packed_bias.defvjp(_packed_fwd_rule, _packed_bwd_rule)

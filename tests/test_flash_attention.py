@@ -87,12 +87,38 @@ def test_mha_packed_matches_einsum_value_and_grad():
         p = jax.nn.softmax(a, axis=-1).astype(q.dtype)
         return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, s, h * d)
 
-    out = fa.mha_packed(qkv, scale)
+    out = fa.mha_packed(qkv.reshape(b, s, 3 * h * d), scale, h)
     assert out.shape == (b, s, h * d)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref(qkv)),
                                atol=2e-5)
 
     co = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
-    gp = jax.grad(lambda x: jnp.sum(fa.mha_packed(x, scale) * co))(qkv)
+    gp = jax.grad(lambda x: jnp.sum(
+        fa.mha_packed(x.reshape(b, s, 3 * h * d), scale, h) * co))(qkv)
     gr = jax.grad(lambda x: jnp.sum(ref(x) * co))(qkv)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=3e-5)
+
+
+def test_mha_packed_bias_fuses_the_dense_bias():
+    """mha_packed_bias(y, b) == mha_packed(y + b) for value and gradients,
+    including the bias cotangent (row-sum of the qkv cotangent)."""
+    rng = np.random.default_rng(4)
+    b, s, h, d = 2, 32, 3, 8
+    c3 = 3 * h * d
+    y = jnp.asarray(rng.standard_normal((b, s, c3)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c3,)), jnp.float32)
+    scale = d ** -0.5
+
+    out = fa.mha_packed_bias(y, bias, scale, h)
+    ref = fa.mha_packed(y + bias, scale, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    co = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    gy, gb = jax.grad(
+        lambda yy, bb: jnp.sum(fa.mha_packed_bias(yy, bb, scale, h) * co),
+        argnums=(0, 1))(y, bias)
+    gy_ref, gb_ref = jax.grad(
+        lambda yy, bb: jnp.sum(fa.mha_packed(yy + bb, scale, h) * co),
+        argnums=(0, 1))(y, bias)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref), atol=1e-4)
