@@ -48,6 +48,17 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache (same dir as the suite's conftest): the
+    # cross-process pretrain dispatch takes minutes to compile on CPU, and
+    # both workers compile the identical GSPMD module — repeat runs hit.
+    _cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache_cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                                num_processes=2, process_id=pid)
     assert jax.process_count() == 2, jax.process_count()

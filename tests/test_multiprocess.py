@@ -47,7 +47,7 @@ def test_two_process_execution(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=840)
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
