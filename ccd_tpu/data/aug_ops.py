@@ -1002,10 +1002,19 @@ WEATHER_OPS: List[Op] = [op_fog, op_clouds, op_snowflakes, op_rain]
 # ------------------------------------------------------------------ misc
 
 def op_channel_shuffle(key, x, p=0.35):
-    """iaa.ChannelShuffle(0.35): with prob p permute RGB channels."""
+    """iaa.ChannelShuffle(0.35): with prob p permute RGB channels.
+
+    Applied as a one-hot (B,3,3) permutation-matrix einsum, NOT a
+    take_along_axis: the gather form emits B*H*W*3 offset rows (~3 ms on
+    TPU per the README op-selection rules) while the matmul is free inside
+    the surrounding fusion."""
     k1, k2 = jax.random.split(key)
     b = x.shape[0]
     perm = jnp.argsort(jax.random.uniform(k1, (b, 3)), axis=-1)  # (B, 3)
-    shuffled = jnp.take_along_axis(x, perm[:, None, None, :], axis=-1)
+    pmat = jax.nn.one_hot(perm, 3, dtype=x.dtype)                # (B, 3, 3)
+    # HIGHEST: 0/1 weights must select exactly (a bf16-pass matmul would
+    # round the fp32 pixel values)
+    shuffled = jnp.einsum("bhwc,bkc->bhwk", x, pmat,
+                          precision=jax.lax.Precision.HIGHEST)
     gate = jax.random.bernoulli(k2, p, (b, 1, 1, 1))
     return jnp.where(gate, shuffled, x)

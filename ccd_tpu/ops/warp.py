@@ -66,8 +66,17 @@ def grid_sample_binary_packed(bits: jnp.ndarray, grid: jnp.ndarray,
     TPU gathers cost ~2.8 ms per (64, 4096, C) tap and scale with C, so
     this cuts the glyph-cluster + mask warp in the pretrain hot loop from
     ~10 ms to ~4 ms. Returns (B, Ho, Wo, n_bits) float {0, 1}.
+
+    For the small 32x128 shapes the gathers are STILL the wrong form (the
+    4 int32 taps profiled at ~9 ms/step): unpack-then-dense-contract rides
+    the MXU at ~3 ms for the same result, so that path wins whenever
+    :func:`grid_sample` itself would go dense.
     """
     b, h, w = bits.shape
+    if h * w <= 4096:
+        shifts32 = jnp.arange(n_bits, dtype=bits.dtype)
+        chans = ((bits[..., None] >> shifts32) & 1).astype(jnp.float32)
+        return (grid_sample(chans, grid) > thresh).astype(jnp.float32)
     gx = (grid[..., 0] + 1.0) * w / 2.0 - 0.5
     gy = (grid[..., 1] + 1.0) * h / 2.0 - 0.5
     x0 = jnp.floor(gx)
