@@ -79,6 +79,16 @@ def main():
 
     results = {"process_id": pid}
 
+    def barrier(name: str, timeout_ms: int = 1_500_000) -> None:
+        """Align both processes at a COORDINATOR barrier (gRPC key-value
+        service, arbitrary timeout) — NOT a gloo collective. The first gloo
+        collective of a program gives the peer only ~30 s to arrive
+        (GetKeyValue DEADLINE_EXCEEDED otherwise), which a multi-minute
+        compile skew between workers easily blows through. Compile first,
+        then barrier, then execute."""
+        from jax._src import distributed
+        distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+
     # ------------------------------------------------ 1. pretrain dispatch
     # K-step lax.scan dispatch of the pretrain step (the CLI's dispatch
     # shape, minus the fused severity-5 augmentation whose CPU compile is
@@ -113,8 +123,11 @@ def main():
                                                      mesh)
     # the global batch spans both processes' data
     assert views_d.shape == (k_steps, 2 * local_b, 3, 32, 128, 3), views_d.shape
-    state, metrics = jax.jit(multi, donate_argnums=(0,))(
-        state, views_d, masks_d, thetas_d)
+    # AOT-compile (process-local, no collectives), THEN align, THEN execute
+    compiled = jax.jit(multi, donate_argnums=(0,)).lower(
+        state, views_d, masks_d, thetas_d).compile()
+    barrier("pretrain_compiled")
+    state, metrics = compiled(state, views_d, masks_d, thetas_d)
     results["pretrain_losses"] = [
         float(v) for v in np.asarray(jax.device_get(metrics["loss"]))]
     results["iteration"] = int(jax.device_get(state.iteration))
@@ -131,6 +144,9 @@ def main():
     tgt = jnp.full((1, 6), model.padding_idx, jnp.int32)
     params = model.init({"params": prng, "dropout": prng}, img, tgt,
                         train_mode=True)["params"]
+    # re-align before the eval phase so its first counter allgather sees at
+    # most the (identical-work) decode-compile skew, not leftover drift
+    barrier("eval_start")
     res_sharded, acc_sharded = evaluate_benchmarks(
         model, params, [eval_root], batch_size=8, max_seq_len=6, num_workers=1)
     res_full, acc_full = evaluate_benchmarks(
@@ -144,6 +160,7 @@ def main():
 
     # ------------------------------------------------ 3. Orbax multihost ckpt
     ckpt_dir = os.path.join(out_dir, "ckpt")  # SHARED across processes
+    barrier("ckpt_start")
     manager = CheckpointManager(ckpt_dir, max_to_keep=2)
     payload = jax.device_get(pretrain_state_payload(state))
     manager.save(results["iteration"], payload)
