@@ -50,6 +50,10 @@ def main():
                         help="pretrain throughput in the epoch>=30 regime: "
                              "clusters from self-PREDICTED SegHead masks "
                              "(specky), not GT masks")
+    parser.add_argument("--xla_ce", action="store_true",
+                        help="force the DINO CE through the unfused XLA "
+                             "chain (default: fused Pallas kernel on a "
+                             "single TPU chip, XLA chain elsewhere)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of 2 timed "
                              "dispatches into this dir (parse with "
@@ -105,7 +109,8 @@ def main():
         teacher_temps=teacher_temp_schedule(0.04, 0.04, 0, 100),
         clip_grad=3.0, freeze_last_layer=1, global_batch=batch,
         imgnet_based=1_000_000,
-        gt_mask_epochs=0 if args.predmask else 30)
+        gt_mask_epochs=0 if args.predmask else 30,
+        use_fused_ce=False if args.xla_ce else None)
 
     jstep = jax.jit(step, donate_argnums=(0,))
 

@@ -84,34 +84,49 @@ def dino_char_loss_fused(student_logits: jnp.ndarray, teacher_logits: jnp.ndarra
     traced scalar (fed to the kernel through SMEM).
     """
     from ccd_tpu.ops.fused_dino_ce import fused_dino_row_ce
-    b = valid.shape[0]
-    t_slots, k = student_logits.shape[1], student_logits.shape[2]
-    s1, s2 = student_logits[:b], student_logits[b:]
-    t1, t2 = teacher_logits[:b], teacher_logits[b:]
-    # cross-view pairs: (teacher view1 -> student view2), (teacher view2 -> s1)
-    s_pair = jnp.concatenate([s2, s1], axis=0).reshape(-1, k)
-    t_pair = jax.lax.stop_gradient(
-        jnp.concatenate([t1, t2], axis=0).reshape(-1, k))
-    ce = fused_dino_row_ce(s_pair, t_pair, center.reshape(1, k), teacher_temp,
-                           float(student_temp))
-    ce = ce.reshape(2, b, t_slots)
-    w = valid.astype(jnp.float32)[None]
-    denom = jnp.maximum(w.sum(axis=(1, 2)), 1.0)  # per-term valid count
-    per_term = (ce * w).sum(axis=(1, 2)) / denom
-    return per_term.mean()
+    k = student_logits.shape[-1]
+    if student_logits.ndim == 3:
+        # production passes logits pre-flattened by pool_project(flat=True):
+        # T=26 is not sublane-aligned, so flattening the (2B, T, K) head
+        # output HERE is a full relayout copy (~4.6 ms/step) — only tests
+        # take this branch
+        student_logits = student_logits.reshape(-1, k)
+        teacher_logits = teacher_logits.reshape(-1, k)
+    # ONE kernel call over the view-stacked (2B*T, K) rows. The cross-view
+    # pairing — teacher view i distills into student view j != i
+    # (Dino_loss.py:94-102) — happens inside the kernel via the teacher
+    # BlockSpec's half-rotated index map (swap_halves): any slice/concat
+    # here would materialize copies of both logit tensors in HBM because a
+    # pallas_call boundary cannot fuse.
+    ce = fused_dino_row_ce(
+        student_logits, jax.lax.stop_gradient(teacher_logits),
+        center.reshape(1, k), teacher_temp, float(student_temp),
+        swap_halves=True)
+    w = valid.astype(jnp.float32).reshape(-1)
+    w2 = jnp.concatenate([w, w])  # (2B*T,) — slot validity, shared per view
+    denom = jnp.maximum(w.sum(), 1.0)
+    # sum over both row halves = term(t1->s2) + term(t2->s1)
+    return jnp.sum(ce * w2) / denom / 2.0
 
 
 def dino_center_update(center: jnp.ndarray, teacher_logits: jnp.ndarray,
                        valid: jnp.ndarray, momentum: float = 0.9) -> jnp.ndarray:
     """EMA update of the teacher center over valid char slots of both views.
 
-    teacher_logits: (2B, T, K); valid: (B, T) — applied to both halves, like
-    the reference's concat of the two masked views (Dino_loss.py:133-143).
+    teacher_logits: (2B, T, K), or (2B*T, K) view-stacked rows from
+    ``pool_project(flat=True)``; valid: (B, T) — applied to both halves,
+    like the reference's concat of the two masked views
+    (Dino_loss.py:133-143).
     """
-    b = valid.shape[0]
-    w2 = jnp.concatenate([valid, valid], axis=0).astype(jnp.float32)  # (2B, T)
-    total = jnp.sum(teacher_logits.astype(jnp.float32) * w2[..., None], axis=(0, 1),
-                    keepdims=False)[None]  # (1, K)
+    if teacher_logits.ndim == 2:
+        w = valid.astype(jnp.float32).reshape(-1)
+        w2 = jnp.concatenate([w, w])  # (2B*T,)
+        total = jnp.sum(teacher_logits.astype(jnp.float32) * w2[:, None],
+                        axis=0, keepdims=True)  # (1, K)
+    else:
+        w2 = jnp.concatenate([valid, valid], axis=0).astype(jnp.float32)  # (2B, T)
+        total = jnp.sum(teacher_logits.astype(jnp.float32) * w2[..., None],
+                        axis=(0, 1), keepdims=False)[None]  # (1, K)
     count = jnp.maximum(w2.sum(), 1.0)
     batch_center = total / count
     return center * momentum + batch_center * (1.0 - momentum)

@@ -75,14 +75,23 @@ class CCDPretrainModel(nn.Module):
         """3 taps -> (N, H, W, 2) text/background logits."""
         return self.segmentation(taps, train=train)
 
-    def pool_project(self, region_f, clusters, train: bool = False
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def pool_project(self, region_f, clusters, train: bool = False,
+                     flat: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Char-pool features with cluster maps and project through DINOHead.
 
         region_f: (N, gh, gw, E); clusters: (N, T, H, W).
-        Returns (logits (N, T, out_dim), index (N, T) channel-support bool).
+        Returns (logits, index (N, T) channel-support bool).
+
+        ``flat``: collapse (N, T) BEFORE the out_dim projection and return
+        logits as (N*T, out_dim) view-stacked rows. T=26 is not a multiple
+        of the 8-sublane tile, so flattening the (N, T, 65536) head OUTPUT
+        is a full relayout copy (~4.6 ms/step measured); flattening the
+        (N, T, 256) head INPUT is ~3 MB and free. The fused CE kernel
+        consumes these rows directly.
         """
         attn_vecs, index = char_attention_pool(region_f, clusters)
+        if flat:
+            attn_vecs = attn_vecs.reshape(-1, attn_vecs.shape[-1])
         logits = self.head(attn_vecs, train=train)
         return logits, index
 

@@ -85,29 +85,62 @@ def _bwd_kernel(tt_ref, s_ref, t_ref, c_ref, g_ref, stats_ref, ds_ref, *,
     ds_ref[...] = ((g_ref[0, :][:, None] / st) * (p_s - p_t)).astype(ds_ref.dtype)
 
 
-def _check_blocks(r, k, row_block, k_block):
-    row_block = min(row_block, r)
-    k_block = min(k_block, k)
-    # padding a block would inject fake logits into the softmax
-    assert r % row_block == 0, (r, row_block)
-    assert k % k_block == 0, (k, k_block)
-    return row_block, k_block
+def _pick_block(n: int, cap: int, quantum: int = 128) -> int:
+    """Largest divisor of ``n`` that is <= cap and a multiple of ``quantum``
+    (the TPU lane width — row blocks land on the LANE axis of the ce/stats
+    outputs). Falls back to ``n`` itself: a block equal to the full dimension
+    is always a legal Pallas block shape. Padding a block is never an option
+    here — fake logits would enter the softmax."""
+    best = None
+    d = quantum
+    while d <= min(cap, n):
+        if n % d == 0:
+            best = d
+        d += quantum
+    return best if best is not None else n
 
 
-def _run_fwd(s, t, c, tt, st, row_block, k_block):
+def _check_blocks(r, k, row_block, k_block, swap_halves):
+    if swap_halves:
+        # the half-rotation of teacher row blocks needs the view boundary
+        # (r // 2) block-aligned; picking a divisor of the HALF also makes
+        # the block count even automatically
+        assert r % 2 == 0, r
+        return _pick_block(r // 2, row_block), _pick_block(k, k_block)
+    return _pick_block(r, row_block), _pick_block(k, k_block)
+
+
+def _t_index_map(swap_halves, n_row_blocks):
+    """Teacher block index map. With ``swap_halves`` the teacher's view
+    halves are rotated against the student's (row block i reads teacher
+    block (i + n/2) mod n) — the DINO cross-view pairing (teacher view 1
+    distills into student view 2 and vice versa) done by ADDRESSING instead
+    of materializing sliced/re-concatenated logit copies at the kernel
+    boundary (which costs ~16 ms/step in HBM traffic at the reference
+    shapes)."""
+    if not swap_halves:
+        return lambda i, j: (i, j)
+    half = n_row_blocks // 2
+    return lambda i, j: ((i + half) % n_row_blocks, j)
+
+
+def _run_fwd(s, t, c, tt, st, row_block, k_block, swap_halves):
     r, k = s.shape
-    row_block, k_block = _check_blocks(r, k, row_block, k_block)
+    row_block, k_block = _check_blocks(r, k, row_block, k_block, swap_halves)
     grid = (pl.cdiv(r, row_block), pl.cdiv(k, k_block))
     tt_arr = jnp.asarray(tt, jnp.float32).reshape(1)
     tt_spec = pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM)
     io_spec = pl.BlockSpec((row_block, k_block), lambda i, j: (i, j),
                            memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((row_block, k_block),
+                          _t_index_map(swap_halves, grid[0]),
+                          memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((1, k_block), lambda i, j: (0, j),
                           memory_space=pltpu.VMEM)
     ce, stats = pl.pallas_call(
         functools.partial(_fwd_kernel, st=st),
         grid=grid,
-        in_specs=[tt_spec, io_spec, io_spec, c_spec],
+        in_specs=[tt_spec, io_spec, t_spec, c_spec],
         out_specs=(
             pl.BlockSpec((1, row_block), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
@@ -122,35 +155,49 @@ def _run_fwd(s, t, c, tt, st, row_block, k_block):
     return ce[0], stats
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fused_dino_row_ce(s: jnp.ndarray, t: jnp.ndarray, c: jnp.ndarray,
                       teacher_temp=0.04, student_temp: float = 0.1,
-                      row_block: int = 256, k_block: int = 2048) -> jnp.ndarray:
+                      row_block: int = 256, k_block: int = 2048,
+                      swap_halves: bool = False) -> jnp.ndarray:
     """Per-row CE: -softmax((t-c)/tt) · log_softmax(s/st).
 
     s, t: (R, K) logits (any float dtype); c: (1, K) center; teacher_temp may
     be a traced scalar (read from SMEM). Returns (R,) f32. Teacher, center and
     temperature are non-differentiated, matching the reference's detached
     teacher (Dino_loss.py:90).
+
+    ``swap_halves``: pair student row i with teacher row (i + R/2) mod R —
+    the DINO cross-view pairing over view-stacked logits, done inside the
+    kernel's block addressing so callers never slice/permute the (R, K)
+    arrays in HBM.
     """
-    ce, _ = _run_fwd(s, t, c, teacher_temp, student_temp, row_block, k_block)
+    ce, _ = _run_fwd(s, t, c, teacher_temp, student_temp, row_block, k_block,
+                     swap_halves)
     return ce
 
 
-def _fwd_rule(s, t, c, teacher_temp, student_temp, row_block, k_block):
-    ce, stats = _run_fwd(s, t, c, teacher_temp, student_temp, row_block, k_block)
+def _fwd_rule(s, t, c, teacher_temp, student_temp, row_block, k_block,
+              swap_halves):
+    ce, stats = _run_fwd(s, t, c, teacher_temp, student_temp, row_block,
+                         k_block, swap_halves)
     return ce, (s, t, c, teacher_temp, stats)
 
 
-def _bwd_rule(student_temp, row_block, k_block, res, g):
+def _bwd_rule(student_temp, row_block, k_block, swap_halves, res, g):
     s, t, c, teacher_temp, stats = res
     tt_arr = jnp.asarray(teacher_temp, jnp.float32).reshape(1)
     tt_spec = pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM)
     r, k = s.shape
-    row_block, k_block = _check_blocks(r, k, row_block, k_block)
+    row_block, k_block = _check_blocks(r, k, row_block, k_block, swap_halves)
     grid = (pl.cdiv(r, row_block), pl.cdiv(k, k_block))
     io_spec = pl.BlockSpec((row_block, k_block), lambda i, j: (i, j),
                            memory_space=pltpu.VMEM)
+    # stats rows are indexed by STUDENT row (saved that way in the forward),
+    # so only the raw teacher logits need the swapped addressing here
+    t_spec = pl.BlockSpec((row_block, k_block),
+                          _t_index_map(swap_halves, grid[0]),
+                          memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((1, k_block), lambda i, j: (0, j),
                           memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((1, row_block), lambda i, j: (0, i),
@@ -160,7 +207,7 @@ def _bwd_rule(student_temp, row_block, k_block, res, g):
     ds = pl.pallas_call(
         functools.partial(_bwd_kernel, st=student_temp),
         grid=grid,
-        in_specs=[tt_spec, io_spec, io_spec, c_spec, g_spec, stats_spec],
+        in_specs=[tt_spec, io_spec, t_spec, c_spec, g_spec, stats_spec],
         out_specs=io_spec,
         out_shape=jax.ShapeDtypeStruct(s.shape, s.dtype),
     )(tt_arr, s, t, c, g.reshape(1, -1), stats)

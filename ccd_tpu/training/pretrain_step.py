@@ -107,17 +107,23 @@ def make_pretrain_step(
     imgnet_based: int = 1_000_000,
     gt_mask_epochs: int = 30,        # epoch threshold for GT vs predicted masks
     num_slots: int = 26,
-    use_fused_ce: bool = False,
+    use_fused_ce: Optional[bool] = None,
 ):
     """Build the jitted train step. All arguments are static (baked into the
     compiled function); state/batch are the only traced inputs.
 
-    ``use_fused_ce``: route the DINO CE through the Pallas kernel. Measured
-    on v5e at the reference config this is ~5% SLOWER than the XLA path
-    (XLA fuses the CE epilogue into the 65536-dim head matmul and avoids
-    materializing the logits; the kernel forces them into HBM), so it is off
-    by default — kept for backends/shapes where XLA fusion fails.
+    ``use_fused_ce``: route the DINO CE through the fused Pallas kernel
+    (one online-softmax pass over the (2B*T, 65536) logits, cross-view
+    pairing via block addressing, pool_project(flat=True) rows). +10%
+    step throughput on v5e (697.5 -> 769.6 img/s). ``None`` = auto: on for
+    single-device TPU, off elsewhere — the kernel's half-rotated row
+    pairing is GLOBAL across the view-stacked batch, which under a
+    batch-sharded GSPMD mesh would make XLA fully replicate the logits
+    around the opaque pallas_call; the XLA chain shards cleanly there.
     """
+    if use_fused_ce is None:
+        use_fused_ce = (jax.default_backend() == "tpu"
+                        and jax.device_count() == 1)
     temps = jnp.asarray(teacher_temps, jnp.float32)
     ce_fn = dino_char_loss_fused if use_fused_ce else dino_char_loss
 
@@ -166,16 +172,20 @@ def make_pretrain_step(
             warped_gt = warped[..., num_slots]
             clusters = jnp.concatenate([clusters_source, clusters_image], axis=0)
 
+            # flat=True (fused path) emits view-stacked (2B*T, K) rows —
+            # the (N, T) collapse happens on the 256-wide head INPUT where
+            # it is free, not on the 65536-wide output (pool_project doc)
             s_logits, index = student.apply(
                 svars, region_f, clusters, True, method="pool_project",
-                rngs={"dropout": drop3})
+                rngs={"dropout": drop3}, flat=use_fused_ce)
             valid = char_validity_mask(index[:b], num_slots)
 
             # ---- teacher branch (frozen params, shared clusters)
             tvars = {"params": state.teacher_params}
             t_region_f, _ = teacher.apply(tvars, x, False, method="encode")
             t_logits, _ = teacher.apply(tvars, t_region_f, clusters, False,
-                                        method="pool_project")
+                                        method="pool_project",
+                                        flat=use_fused_ce)
             t_logits = jax.lax.stop_gradient(t_logits)
 
             # ---- losses (train.py:234-238 + Dino_loss.py:59-105);

@@ -46,6 +46,30 @@ def test_fused_matches_reference_grad():
                                atol=2e-6, rtol=1e-4)
 
 
+def test_swap_halves_multi_block():
+    """Half-rotated teacher addressing with >2 row blocks per half."""
+    from ccd_tpu.ops.fused_dino_ce import fused_dino_row_ce
+    rng = np.random.default_rng(3)
+    r, k = 512, 256  # row_block=128 -> 4 blocks, half offset = 2
+    s = jnp.asarray(rng.normal(size=(r, k)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(r, k)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(1, k)).astype(np.float32))
+    ce = fused_dino_row_ce(s, t, c, 0.04, 0.1, row_block=128, k_block=128,
+                           swap_halves=True)
+    t_sw = jnp.concatenate([t[r // 2:], t[:r // 2]], axis=0)
+    q = jax.nn.softmax((t_sw - c) / 0.04, axis=-1)
+    ref = jnp.sum(-q * jax.nn.log_softmax(s / 0.1, axis=-1), axis=-1)
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(ref), atol=1e-4,
+                               rtol=1e-5)
+    # gradient pairs ds_i with the SWAPPED teacher row too
+    g = jax.grad(lambda s: jnp.sum(fused_dino_row_ce(
+        s, t, c, 0.04, 0.1, 128, 128, True)))(s)
+    g_ref = jax.grad(lambda s: jnp.sum(
+        -q * jax.nn.log_softmax(s / 0.1, axis=-1)))(s)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-6,
+                               rtol=1e-4)
+
+
 def test_fused_multi_chunk_grid():
     """K spanning multiple k_block chunks exercises the online rescaling."""
     from ccd_tpu.ops.fused_dino_ce import fused_dino_row_ce

@@ -180,6 +180,50 @@ def test_fused_pretrain_step_from_raw():
     assert int(state.iteration) == 1
 
 
+def test_fused_ce_step_matches_unfused(monkeypatch):
+    """use_fused_ce=True (Pallas CE kernel + flat pool_project rows) produces
+    the same losses and parameters as the XLA path for one full step."""
+    import functools
+    from jax.experimental import pallas as pl
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    from ccd_tpu.training import make_fused_pretrain_step
+
+    rng = np.random.default_rng(11)
+    raw = rng.random((4, 32, 128, 3)).astype(np.float32)
+    masks = np.zeros((4, 32, 128), np.float32)
+    masks[:, 8:24, 20:50] = 1.0
+    kwargs = dict(severity=5, base_lr=1e-3, min_lr=1e-6, total_iters=50,
+                  warmup_iters=0, weight_decay=0.0, weight_decay_end=0.0,
+                  momentum_teacher=0.999,
+                  teacher_temps=teacher_temp_schedule(0.04, 0.04, 0, 5),
+                  clip_grad=3.0, freeze_last_layer=0, global_batch=4,
+                  imgnet_based=10_000)
+    outs = {}
+    for fused_ce in (False, True):
+        student = CCDPretrainModel(arch="vit_micro", out_dim=128,
+                                   with_seg_head=True, norm_last_layer=False)
+        teacher = CCDPretrainModel(arch="vit_micro", out_dim=128,
+                                   with_seg_head=False)
+        state, tx = init_pretrain_state(jax.random.PRNGKey(7), student, teacher)
+        step = jax.jit(make_fused_pretrain_step(
+            student, teacher, tx, use_fused_ce=fused_ce, **kwargs))
+        new_state, metrics = step(state, jnp.asarray(raw), jnp.asarray(masks))
+        outs[fused_ce] = (jax.device_get(metrics),
+                          jax.device_get(new_state.student_params),
+                          jax.device_get(new_state.center))
+    for key in ("loss", "dino_loss", "mask_loss"):
+        np.testing.assert_allclose(outs[True][0][key], outs[False][0][key],
+                                   rtol=2e-5, atol=1e-6)
+    # params after one AdamW step: the kernel's online softmax accumulates
+    # in a different order than XLA's two-pass chain -> fp32 summation noise
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=6e-4, atol=1e-5),
+        outs[True][1], outs[False][1])
+    np.testing.assert_allclose(outs[True][2], outs[False][2], rtol=1e-5,
+                               atol=1e-7)
+
+
 def test_multi_step_equals_sequential_fused():
     """K scanned iterations (one dispatch) == K sequential fused dispatches:
     rng threading, batch stacking and metric stacking are equivalent."""
