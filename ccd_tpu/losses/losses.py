@@ -85,6 +85,20 @@ def dino_char_loss_fused(student_logits: jnp.ndarray, teacher_logits: jnp.ndarra
     """
     from ccd_tpu.ops.fused_dino_ce import fused_dino_row_ce
     k = student_logits.shape[-1]
+    b, t_slots = valid.shape
+    if jax.default_backend() == "tpu" and (b * t_slots) % 128 != 0:
+        # Mosaic requires the kernel's (1, rows) CE/stats blocks to be
+        # lane-aligned: with the half-rotated teacher addressing the row
+        # block must divide rows/2 = B*T AND be a multiple of 128 — only
+        # possible when B*T % 128 == 0 (e.g. T=26 needs batch % 64 == 0).
+        # Infeasible geometries (smoke/test batch sizes) take the
+        # numerically-equivalent XLA chain instead of failing to lower.
+        # Interpret-mode tests (CPU backend) still exercise the kernel on
+        # tiny shapes.
+        return dino_char_loss(
+            student_logits.reshape(2 * b, t_slots, k),
+            teacher_logits.reshape(2 * b, t_slots, k),
+            valid, center, teacher_temp, student_temp)
     if student_logits.ndim == 3:
         # production passes logits pre-flattened by pool_project(flat=True):
         # T=26 is not sublane-aligned, so flattening the (2B, T, K) head

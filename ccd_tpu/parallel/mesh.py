@@ -26,6 +26,68 @@ def data_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mes
     return Mesh(np.array(devices), (axis_name,))
 
 
+def pretrain_mesh(num_devices: Optional[int] = None,
+                  model_parallel: int = 1) -> Mesh:
+    """2-D ``(data, model)`` mesh for Megatron-style tensor parallelism of
+    the 65536-wide DINO head (the only layer in CCD big enough to shard).
+
+    The reference is pure DDP — every rank holds the full (256, 65536)
+    ``weight_v`` plus its AdamW moments and all-reduces their gradients.
+    On TPU the wide head shards cleanly instead: ``last_layer_v``/``g``,
+    the (1, 65536) DINO center, and their optimizer moments live
+    column-sharded over the ``model`` axis, GSPMD turns the head matmul
+    into a per-shard matmul + the 65536-way softmax/center reductions
+    into ``psum`` over ICI, and batch stays sharded over ``data``.
+
+    ``model_parallel=1`` degrades to the plain 1-D data mesh so every
+    existing call site keeps its layout.
+    """
+    mp = max(int(model_parallel or 1), 1)
+    if mp == 1:
+        return data_mesh(num_devices)
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % mp != 0:
+        raise ValueError(f"model_parallel={mp} must divide device count {n}")
+    return Mesh(np.array(devices).reshape(n // mp, mp), ("data", "model"))
+
+
+# parameter leaves column-sharded over the 'model' axis: the DINO head's
+# weight-normed final linear (bottleneck 256 -> out_dim 65536) and its gain
+_MODEL_SHARDED_KEYS = frozenset({"last_layer_v", "last_layer_g"})
+
+
+def pretrain_state_shardings(state: Any, mesh: Mesh) -> Any:
+    """Per-leaf NamedSharding pytree for a ``PretrainState`` on ``mesh``.
+
+    On a 1-D data mesh everything is replicated (the round-1/2 layout). On
+    a ``(data, model)`` mesh, every 2-D leaf named ``last_layer_v``/``g``
+    (student params, teacher params, and their AdamW ``mu``/``nu`` moments,
+    whose pytrees mirror the param dict) plus the (1, out_dim) DINO
+    ``center`` buffer shard their last axis over ``model``; everything else
+    replicates. GSPMD propagates the rest: head logits come out
+    column-sharded, loss softmaxes/center sums become ICI ``psum``s.
+    """
+    if "model" not in mesh.axis_names:
+        rep = replicated_sharding(mesh)
+        return jax.tree.map(lambda _: rep, state)
+    rep = NamedSharding(mesh, P())
+    col = NamedSharding(mesh, P(None, "model"))
+
+    def rule(path, leaf):
+        names = [getattr(e, "key", None) or getattr(e, "name", None)
+                 for e in path]
+        if getattr(leaf, "ndim", 0) == 2 and (
+                names and (names[-1] in _MODEL_SHARDED_KEYS
+                           or names[-1] == "center")):
+            return col
+        return rep
+
+    return jax.tree_util.tree_map_with_path(rule, state)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard dim 0 (batch) over the mesh."""
     return NamedSharding(mesh, P(axis_name))

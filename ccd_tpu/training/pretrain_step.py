@@ -122,8 +122,12 @@ def make_pretrain_step(
     around the opaque pallas_call; the XLA chain shards cleanly there.
     """
     if use_fused_ce is None:
+        # the kernel's lane-aligned row blocking needs B*T % 128 == 0
+        # (see dino_char_loss_fused); infeasible batches (smoke runs)
+        # keep the XLA chain and the un-flattened pool_project layout
         use_fused_ce = (jax.default_backend() == "tpu"
-                        and jax.device_count() == 1)
+                        and jax.device_count() == 1
+                        and (global_batch * num_slots) % 128 == 0)
     temps = jnp.asarray(teacher_temps, jnp.float32)
     ce_fn = dino_char_loss_fused if use_fused_ce else dino_char_loss
 

@@ -82,6 +82,42 @@ def test_pretrain_step_on_8device_mesh(pretrain_setup):
     assert abs(float(metrics["loss"]) - float(metrics3["loss"])) < 1e-4
 
 
+def test_pretrain_step_tensor_parallel_matches_data_parallel(pretrain_setup):
+    """(data=4, model=2) mesh — the 65536-wide DINO head column-sharded over
+    'model' (Megatron-style tp; see parallel/mesh.py::pretrain_mesh) — must
+    reproduce the pure data-parallel step bit-for-bit at fp32 tolerance:
+    same loss, same updated head shard values, same center."""
+    from ccd_tpu.parallel import pretrain_mesh, pretrain_state_shardings
+
+    state, step = pretrain_setup
+    images, masks, theta = _pretrain_batch(np.random.default_rng(3), b=16)
+    out = {}
+    for mp in (1, 2):
+        mesh = pretrain_mesh(8, model_parallel=mp)
+        st = jax.device_put(state, pretrain_state_shardings(state, mesh))
+        if mp > 1:  # the wide-head leaves really are column-sharded
+            spec = st.student_params["head"]["last_layer_v"].sharding.spec
+            assert "model" in str(spec), spec
+        batch = shard_batch((jnp.asarray(images), jnp.asarray(masks),
+                             jnp.asarray(theta)), mesh)
+        st2, metrics = jax.jit(step)(st, *batch)
+        out[mp] = (float(metrics["loss"]),
+                   np.asarray(jax.device_get(
+                       st2.student_params["head"]["last_layer_v"])),
+                   np.asarray(jax.device_get(st2.center)))
+    assert abs(out[1][0] - out[2][0]) < 1e-4, (out[1][0], out[2][0])
+    np.testing.assert_allclose(out[1][1], out[2][1], atol=1e-5)
+    np.testing.assert_allclose(out[1][2], out[2][2], atol=1e-5)
+
+
+def test_pretrain_mesh_rejects_bad_divisor():
+    from ccd_tpu.parallel import pretrain_mesh
+    with pytest.raises(ValueError):
+        pretrain_mesh(8, model_parallel=3)
+    # mp=1 degrades to the plain 1-D data mesh (no 'model' axis)
+    assert pretrain_mesh(8, model_parallel=1).axis_names == ("data",)
+
+
 def test_pretrain_freeze_last_layer():
     # epoch 0 (< freeze_last_layer) -> last_layer params must not move
     student = CCDPretrainModel(arch="vit_micro", out_dim=128, with_seg_head=True,

@@ -69,7 +69,7 @@ def main():
     from ccd_tpu.data.pipeline import (DataLoader, device_chunks,
                                        infinite_batches)
     from ccd_tpu.losses import teacher_temp_schedule
-    from ccd_tpu.parallel import (data_mesh, replicated_sharding,
+    from ccd_tpu.parallel import (pretrain_mesh, pretrain_state_shardings,
                                   shard_stacked_batch)
     from ccd_tpu.training import (init_pretrain_state,
                                   make_multi_pretrain_step,
@@ -140,8 +140,12 @@ def main():
         global_batch=global_batch,
         imgnet_based=int(config.imgnet_based))
 
-    mesh = data_mesh(config.mesh_num_devices)
-    state = jax.device_put(state, replicated_sharding(mesh))
+    # mesh.model_parallel > 1 column-shards the 65536-wide DINO head (+ its
+    # AdamW moments and the center) over a second 'model' axis — see
+    # parallel/mesh.py::pretrain_mesh
+    mesh = pretrain_mesh(config.mesh_num_devices,
+                         model_parallel=config.mesh_model_parallel or 1)
+    state = jax.device_put(state, pretrain_state_shardings(state, mesh))
     jstep = jax.jit(step_fn, donate_argnums=(0,))
 
     ckpt_dir = os.path.join(config.output_dir, config.global_name)
@@ -155,6 +159,9 @@ def main():
         logging.info(f"resuming from checkpoint step {latest}")
         restored = manager.restore(latest, jax.device_get(state_payload(state)))
         state = state.replace(**restored)
+        # restored leaves are host arrays — re-establish the mesh placement
+        # (column shards for the TP head) before the donated jit sees them
+        state = jax.device_put(state, pretrain_state_shardings(state, mesh))
 
     try:
         from torch.utils.tensorboard import SummaryWriter
