@@ -48,18 +48,29 @@ def _decode(model, params, images: jnp.ndarray, test_speed: bool) -> jnp.ndarray
 
 
 def make_predict_fn(model, params, convertor: AttnConvertor,
-                    batch_size: int = 288, test_speed: bool = False
+                    batch_size: int = 288, test_speed: bool = False,
+                    small_bucket: Optional[int] = 32
                     ) -> Callable[[np.ndarray], List[str]]:
     """Build ``fn(uint8 images (N, H, W, 3)) -> list[str]`` (greedy decode).
 
     ``test_speed=True`` routes through the early-exit decode
     (``forward_test_speed``, ``Dino/decoder/nrtr_decoder.py:177-203``).
+
+    ``small_bucket``: second compiled decode size for ragged FINAL batches —
+    a 289-image benchmark at batch 288 decodes 288 + 32 rows instead of
+    288 + 288 (the 1-row remainder pads to 32, not to the full batch). The
+    small executable compiles lazily on the first ragged batch <= its size
+    and is cached by jax.jit like the main one. ``None`` disables (always
+    pad to ``batch_size``, the round-3 behavior).
     """
+    buckets = sorted({b for b in (small_bucket, batch_size)
+                      if b and b <= batch_size})
 
     def predict(images: np.ndarray) -> List[str]:
         n = images.shape[0]
-        if n < batch_size:
-            pad = np.repeat(images[-1:], batch_size - n, axis=0)
+        size = next((b for b in buckets if n <= b), batch_size)
+        if n < size:
+            pad = np.repeat(images[-1:], size - n, axis=0)
             images = np.concatenate([images, pad], axis=0)
         probs = np.asarray(_decode(model, params, jnp.asarray(images),
                                    test_speed))[:n]

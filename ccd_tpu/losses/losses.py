@@ -75,18 +75,75 @@ def dino_char_loss(student_logits: jnp.ndarray, teacher_logits: jnp.ndarray,
 
 
 def dino_char_loss_fused(student_logits: jnp.ndarray, teacher_logits: jnp.ndarray,
-                         valid: jnp.ndarray, center: jnp.ndarray, teacher_temp: float,
-                         student_temp: float = 0.1) -> jnp.ndarray:
+                         valid: jnp.ndarray, center: jnp.ndarray, teacher_temp,
+                         student_temp: float = 0.1, mesh=None,
+                         data_axis: str = "data") -> jnp.ndarray:
     """:func:`dino_char_loss` via the fused Pallas CE kernel (one HBM pass
     over the (rows, 65536) logits instead of several fp32 materializations).
 
     Numerically equivalent (fp32 online softmax); ``teacher_temp`` may be a
     traced scalar (fed to the kernel through SMEM).
+
+    ``mesh``: sharded path. Logits must be VIEW-MAJOR ``(2, B*T, K)`` with
+    axis 1 sharded over ``data_axis`` — both views of a sample then live on
+    the same device and the kernel's half-rotated cross-view pairing
+    (``swap_halves``) is purely device-local, so the kernel runs under
+    ``shard_map`` with zero collectives; the masked mean below stays in
+    GSPMD-land and reduces globally (the reference's ``dist.all_reduce``
+    equivalents). Without a mesh, logits are the flat ``(2B*T, K)``
+    view-stacked rows (single-device layout, identical memory order).
     """
+    import logging
+
     from ccd_tpu.ops.fused_dino_ce import fused_dino_row_ce
     k = student_logits.shape[-1]
     b, t_slots = valid.shape
+
+    n_data = 1
+    if mesh is not None and data_axis in mesh.axis_names:
+        n_data = mesh.shape[data_axis]
+    if mesh is not None and n_data > 1:
+        assert student_logits.ndim == 3 and student_logits.shape[0] == 2, \
+            "sharded fused CE needs view-major (2, B*T, K) logits"
+        rows_local = (b * t_slots) // n_data
+        if jax.default_backend() == "tpu" and rows_local % 128 != 0:
+            logging.warning(
+                "fused DINO-CE falling back to the XLA chain: per-device "
+                f"rows B*T/n_data = {b}*{t_slots}/{n_data} = {rows_local} "
+                "is not a multiple of the 128-lane row block "
+                "(~10% step-throughput loss; pick batch so that "
+                "B*T % (128*data_parallel) == 0)")
+            return dino_char_loss(
+                student_logits.reshape(2 * b, t_slots, k),
+                teacher_logits.reshape(2 * b, t_slots, k),
+                valid, center, teacher_temp, student_temp)
+        from jax.sharding import PartitionSpec as P
+
+        def local_rows_ce(s, t, c, tt):
+            # local shapes (2, rows_local, K): flatten view-major -> the
+            # same [view-1 rows; view-2 rows] layout the kernel's
+            # swap_halves addressing expects, now per device
+            ce = fused_dino_row_ce(
+                s.reshape(-1, k), jax.lax.stop_gradient(t.reshape(-1, k)),
+                c, tt, float(student_temp), swap_halves=True)
+            return ce.reshape(2, -1)
+
+        ce2 = jax.shard_map(
+            local_rows_ce, mesh=mesh,
+            in_specs=(P(None, data_axis, None), P(None, data_axis, None),
+                      P(None, None), P()),
+            out_specs=P(None, data_axis), check_vma=False,
+        )(student_logits, teacher_logits, center.reshape(1, k),
+          jnp.asarray(teacher_temp, jnp.float32))
+        w = valid.astype(jnp.float32).reshape(-1)          # (B*T,)
+        denom = jnp.maximum(w.sum(), 1.0)
+        return jnp.sum(ce2 * w[None, :]) / denom / 2.0
+
     if jax.default_backend() == "tpu" and (b * t_slots) % 128 != 0:
+        logging.warning(
+            "fused DINO-CE falling back to the XLA chain on TPU: "
+            f"B*T = {b}*{t_slots} is not a multiple of 128 "
+            "(~10% step-throughput loss; pick batch % 64 == 0 at T=26)")
         # Mosaic requires the kernel's (1, rows) CE/stats blocks to be
         # lane-aligned: with the half-rotated teacher addressing the row
         # block must divide rows/2 = B*T AND be a multiple of 128 — only
@@ -124,14 +181,23 @@ def dino_char_loss_fused(student_logits: jnp.ndarray, teacher_logits: jnp.ndarra
 
 
 def dino_center_update(center: jnp.ndarray, teacher_logits: jnp.ndarray,
-                       valid: jnp.ndarray, momentum: float = 0.9) -> jnp.ndarray:
+                       valid: jnp.ndarray, momentum: float = 0.9,
+                       view_major: bool = False) -> jnp.ndarray:
     """EMA update of the teacher center over valid char slots of both views.
 
     teacher_logits: (2B, T, K), or (2B*T, K) view-stacked rows from
-    ``pool_project(flat=True)``; valid: (B, T) — applied to both halves,
+    ``pool_project(flat=True)``, or — with ``view_major`` — (2, B*T, K)
+    from the sharded fused path; valid: (B, T) — applied to both halves,
     like the reference's concat of the two masked views
     (Dino_loss.py:133-143).
     """
+    if view_major:
+        w = valid.astype(jnp.float32).reshape(-1)  # (B*T,)
+        w2 = jnp.stack([w, w])                     # (2, B*T)
+        total = jnp.sum(teacher_logits.astype(jnp.float32) * w2[..., None],
+                        axis=(0, 1), keepdims=False)[None]  # (1, K)
+        count = jnp.maximum(w2.sum(), 1.0)
+        return center * momentum + (total / count) * (1.0 - momentum)
     if teacher_logits.ndim == 2:
         w = valid.astype(jnp.float32).reshape(-1)
         w2 = jnp.concatenate([w, w])  # (2B*T,)

@@ -89,11 +89,24 @@ class CCDPretrainModel(nn.Module):
         (N, T, 256) head INPUT is ~3 MB and free. The fused CE kernel
         consumes these rows directly.
         """
-        attn_vecs, index = char_attention_pool(region_f, clusters)
+        attn_vecs, index = self.pool(region_f, clusters)
         if flat:
             attn_vecs = attn_vecs.reshape(-1, attn_vecs.shape[-1])
-        logits = self.head(attn_vecs, train=train)
+        logits = self.project(attn_vecs, train=train)
         return logits, index
+
+    def pool(self, region_f, clusters) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Char-pooling alone: (N, gh, gw, E) x (N, T, H, W) ->
+        ((N, T, E) char vectors, (N, T) channel-support bool). Split out from
+        :meth:`pool_project` so the sharded train step can place a sharding
+        constraint on the SMALL (·, E) pooled features (a ~3 MB resharding
+        point) before the 65536-wide head matmul — see
+        ``make_pretrain_step(mesh=...)``."""
+        return char_attention_pool(region_f, clusters)
+
+    def project(self, attn_vecs, train: bool = False) -> jnp.ndarray:
+        """DINOHead projection over the last axis; any leading shape."""
+        return self.head(attn_vecs, train=train)
 
     # ------------------------------------------------------------ init path
     def __call__(self, images, clusters: Optional[jnp.ndarray] = None,

@@ -24,6 +24,13 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
+def _interpret() -> bool:
+    """Pallas interpret mode off-TPU: CPU meshes (the 8-device test/dryrun
+    environment) run the SAME kernel through the interpreter, so the sharded
+    fused-CE path is exercised without TPU hardware."""
+    return jax.default_backend() != "tpu"
+
+
 def _fwd_kernel(tt_ref, s_ref, t_ref, c_ref, ce_ref, stats_ref, *, st: float):
     """Grid: (row_blocks, k_chunks); K is the sequential minor dimension.
 
@@ -139,6 +146,7 @@ def _run_fwd(s, t, c, tt, st, row_block, k_block, swap_halves):
                           memory_space=pltpu.VMEM)
     ce, stats = pl.pallas_call(
         functools.partial(_fwd_kernel, st=st),
+        interpret=_interpret(),
         grid=grid,
         in_specs=[tt_spec, io_spec, t_spec, c_spec],
         out_specs=(
@@ -206,6 +214,7 @@ def _bwd_rule(student_temp, row_block, k_block, swap_halves, res, g):
                               memory_space=pltpu.VMEM)
     ds = pl.pallas_call(
         functools.partial(_bwd_kernel, st=student_temp),
+        interpret=_interpret(),
         grid=grid,
         in_specs=[tt_spec, io_spec, t_spec, c_spec, g_spec, stats_spec],
         out_specs=io_spec,

@@ -18,12 +18,19 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def data_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+def _take_devices(num_devices: Optional[int]):
     devices = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"num_devices={num_devices} > available {len(devices)}")
         devices = devices[:num_devices]
-    return Mesh(np.array(devices), (axis_name,))
+    return devices
+
+
+def data_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    return Mesh(np.array(_take_devices(num_devices)), (axis_name,))
 
 
 def pretrain_mesh(num_devices: Optional[int] = None,
@@ -41,16 +48,28 @@ def pretrain_mesh(num_devices: Optional[int] = None,
 
     ``model_parallel=1`` degrades to the plain 1-D data mesh so every
     existing call site keeps its layout.
+
+    The ``(n // mp, mp)`` reshape assumes ``jax.devices()`` enumerates
+    ICI-adjacent chips consecutively (true for TPU slices, where the default
+    device order walks the torus) so each model group stays on neighboring
+    chips; model groups are also assumed NOT to span hosts (checkpoint
+    save/restore gathers state with ``jax.device_get``, which requires
+    fully-addressable arrays — see train.py).
     """
     mp = max(int(model_parallel or 1), 1)
     if mp == 1:
         return data_mesh(num_devices)
-    devices = jax.devices()
-    if num_devices is not None:
-        devices = devices[:num_devices]
+    devices = _take_devices(num_devices)
     n = len(devices)
     if n % mp != 0:
         raise ValueError(f"model_parallel={mp} must divide device count {n}")
+    if jax.process_count() > 1:
+        per_host = n // jax.process_count()
+        if per_host % mp != 0:
+            raise ValueError(
+                f"model_parallel={mp} would span hosts ({per_host} local "
+                "devices per process): state gathering (jax.device_get in "
+                "the checkpoint path) needs fully-addressable model groups")
     return Mesh(np.array(devices).reshape(n // mp, mp), ("data", "model"))
 
 
@@ -75,13 +94,24 @@ def pretrain_state_shardings(state: Any, mesh: Mesh) -> Any:
         return jax.tree.map(lambda _: rep, state)
     rep = NamedSharding(mesh, P())
     col = NamedSharding(mesh, P(None, "model"))
+    mp = mesh.shape["model"]
 
     def rule(path, leaf):
         names = [getattr(e, "key", None) or getattr(e, "name", None)
                  for e in path]
-        if getattr(leaf, "ndim", 0) == 2 and (
-                names and (names[-1] in _MODEL_SHARDED_KEYS
-                           or names[-1] == "center")):
+        # qualified match: last_layer_{v,g} only under a module named
+        # 'head' (student/teacher params and their mirrored AdamW moments);
+        # 'center' only as the top-level PretrainState buffer — a future
+        # coincidentally-named leaf elsewhere must NOT silently column-shard
+        is_head_ll = (names and names[-1] in _MODEL_SHARDED_KEYS
+                      and "head" in names[:-1])
+        is_center = names == ["center"]
+        if getattr(leaf, "ndim", 0) == 2 and (is_head_ll or is_center):
+            if leaf.shape[-1] % mp != 0:
+                raise ValueError(
+                    f"cannot column-shard {'/'.join(map(str, names))} "
+                    f"{leaf.shape} over model_parallel={mp}: last dim not "
+                    "divisible")
             return col
         return rep
 

@@ -108,6 +108,8 @@ def make_pretrain_step(
     gt_mask_epochs: int = 30,        # epoch threshold for GT vs predicted masks
     num_slots: int = 26,
     use_fused_ce: Optional[bool] = None,
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Build the jitted train step. All arguments are static (baked into the
     compiled function); state/batch are the only traced inputs.
@@ -115,21 +117,46 @@ def make_pretrain_step(
     ``use_fused_ce``: route the DINO CE through the fused Pallas kernel
     (one online-softmax pass over the (2B*T, 65536) logits, cross-view
     pairing via block addressing, pool_project(flat=True) rows). +10%
-    step throughput on v5e (697.5 -> 769.6 img/s). ``None`` = auto: on for
-    single-device TPU, off elsewhere — the kernel's half-rotated row
-    pairing is GLOBAL across the view-stacked batch, which under a
-    batch-sharded GSPMD mesh would make XLA fully replicate the logits
-    around the opaque pallas_call; the XLA chain shards cleanly there.
+    step throughput on v5e (697.5 -> 769.6 img/s). ``None`` = auto: on
+    whenever the kernel's lane-aligned row blocking is feasible
+    (per-data-shard B*T % 128 == 0) and the DINO head is not
+    tensor-parallel (the online softmax needs all K on one device; TP
+    meshes keep the XLA chain, whose sharded-K softmax GSPMD handles).
+
+    ``mesh``: the device mesh the caller will jit this step over. With a
+    multi-device ``data_axis`` the fused path emits VIEW-MAJOR
+    ``(2, B*T, K)`` logits — a sharding constraint on the small
+    ``(2, B*T, 256)`` pooled char features (a ~3 MB resharding, vs ~870 MB
+    if done on the logits) co-locates both views of each sample on one
+    device, and the kernel runs under ``shard_map`` with zero collectives
+    (see :func:`ccd_tpu.losses.dino_char_loss_fused`).
     """
+    n_data = 1
+    n_model = 1
+    if mesh is not None:
+        if data_axis in mesh.axis_names:
+            n_data = mesh.shape[data_axis]
+        if "model" in mesh.axis_names:
+            n_model = mesh.shape["model"]
     if use_fused_ce is None:
-        # the kernel's lane-aligned row blocking needs B*T % 128 == 0
-        # (see dino_char_loss_fused); infeasible batches (smoke runs)
-        # keep the XLA chain and the un-flattened pool_project layout
+        # infeasible batches (smoke runs) keep the XLA chain and the
+        # un-flattened pool_project layout; TP head keeps the XLA chain
         use_fused_ce = (jax.default_backend() == "tpu"
-                        and jax.device_count() == 1
-                        and (global_batch * num_slots) % 128 == 0)
+                        and n_model == 1
+                        and (mesh is not None or jax.device_count() == 1)
+                        and (global_batch * num_slots) % (128 * n_data) == 0)
+    view_major = use_fused_ce and n_data > 1
     temps = jnp.asarray(teacher_temps, jnp.float32)
-    ce_fn = dino_char_loss_fused if use_fused_ce else dino_char_loss
+    if view_major:
+        from functools import partial
+        from jax.sharding import NamedSharding, PartitionSpec
+        ce_fn = partial(dino_char_loss_fused, mesh=mesh, data_axis=data_axis)
+        pooled_sharding = NamedSharding(
+            mesh, PartitionSpec(None, data_axis, None))
+    elif use_fused_ce:
+        ce_fn = dino_char_loss_fused
+    else:
+        ce_fn = dino_char_loss
 
     def step(state: PretrainState, images: jnp.ndarray, masks: jnp.ndarray,
              theta: jnp.ndarray) -> Tuple[PretrainState, Dict[str, jnp.ndarray]]:
@@ -178,18 +205,36 @@ def make_pretrain_step(
 
             # flat=True (fused path) emits view-stacked (2B*T, K) rows —
             # the (N, T) collapse happens on the 256-wide head INPUT where
-            # it is free, not on the 65536-wide output (pool_project doc)
-            s_logits, index = student.apply(
-                svars, region_f, clusters, True, method="pool_project",
-                rngs={"dropout": drop3}, flat=use_fused_ce)
-            valid = char_validity_mask(index[:b], num_slots)
-
-            # ---- teacher branch (frozen params, shared clusters)
+            # it is free, not on the 65536-wide output (pool_project doc).
+            # view_major (fused + sharded): reshape the SMALL pooled
+            # features to (2, B*T, E), pin both views of a sample onto the
+            # same device, then project -> (2, B*T, K) logits whose
+            # cross-view pairing is device-local for the shard_mapped kernel.
             tvars = {"params": state.teacher_params}
             t_region_f, _ = teacher.apply(tvars, x, False, method="encode")
-            t_logits, _ = teacher.apply(tvars, t_region_f, clusters, False,
-                                        method="pool_project",
-                                        flat=use_fused_ce)
+            if view_major:
+                pooled, index = student.apply(svars, region_f, clusters,
+                                              method="pool")
+                e = pooled.shape[-1]
+                pooled = jax.lax.with_sharding_constraint(
+                    pooled.reshape(2, -1, e), pooled_sharding)
+                s_logits = student.apply(svars, pooled, True,
+                                         method="project",
+                                         rngs={"dropout": drop3})
+                t_pooled, _ = teacher.apply(tvars, t_region_f, clusters,
+                                            method="pool")
+                t_pooled = jax.lax.with_sharding_constraint(
+                    t_pooled.reshape(2, -1, e), pooled_sharding)
+                t_logits = teacher.apply(tvars, t_pooled, False,
+                                         method="project")
+            else:
+                s_logits, index = student.apply(
+                    svars, region_f, clusters, True, method="pool_project",
+                    rngs={"dropout": drop3}, flat=use_fused_ce)
+                t_logits, _ = teacher.apply(tvars, t_region_f, clusters,
+                                            False, method="pool_project",
+                                            flat=use_fused_ce)
+            valid = char_validity_mask(index[:b], num_slots)
             t_logits = jax.lax.stop_gradient(t_logits)
 
             # ---- losses (train.py:234-238 + Dino_loss.py:59-105);
@@ -227,7 +272,8 @@ def make_pretrain_step(
                                new_student_params["head"], m),
         }
         new_center = dino_center_update(state.center, aux["t_logits"],
-                                        aux["valid"], center_momentum)
+                                        aux["valid"], center_momentum,
+                                        view_major=view_major)
 
         new_state = PretrainState(
             student_params=new_student_params, student_stats=aux["batch_stats"],

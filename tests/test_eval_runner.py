@@ -97,3 +97,36 @@ def test_textaccuracy_merge():
     full.update(preds, gts)
     a.merge(b)
     assert a.result() == full.result()
+
+
+def test_ragged_final_batch_uses_small_bucket(eval_env, monkeypatch):
+    """A ragged final batch pads to the SMALL decode bucket, not the full
+    batch size (round-3 VERDICT weak #5: a 289-image set at batch 288 must
+    decode 288+32 rows, not 288+288) — identical predictions either way."""
+    import ccd_tpu.evaluation.runner as runner
+    from ccd_tpu.evaluation.runner import make_predict_fn
+    from ccd_tpu.convertor import AttnConvertor
+
+    path, _words, model, params = eval_env
+    conv = AttnConvertor(dict_type="DICT90", max_seq_len=6, with_unknown=True)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(18, 32, 128, 3)).astype(np.uint8)
+
+    seen = []
+    orig = runner._decode
+
+    def spy(model_, params_, images, test_speed):
+        seen.append(images.shape[0])
+        return orig(model_, params_, images, test_speed)
+
+    monkeypatch.setattr(runner, "_decode", spy)
+    pred_bucketed = make_predict_fn(model, params, conv, batch_size=16,
+                                    small_bucket=4)
+    out_ragged = pred_bucketed(imgs[16:])         # 2 rows -> 4-row bucket
+    out_full = pred_bucketed(imgs[:16])           # exact batch -> 16
+    assert seen == [4, 16]
+    pred_plain = make_predict_fn(model, params, conv, batch_size=16,
+                                 small_bucket=None)
+    assert pred_plain(imgs[16:]) == out_ragged    # same predictions
+    assert seen[-1] == 16                          # padded to full batch
+    assert len(out_ragged) == 2 and len(out_full) == 16

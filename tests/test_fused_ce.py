@@ -1,23 +1,15 @@
-"""Fused DINO-CE Pallas kernel correctness (interpret mode) vs reference loss."""
+"""Fused DINO-CE Pallas kernel correctness (interpret mode) vs reference loss.
 
-import functools
+The kernel auto-interprets off-TPU (``fused_dino_ce._interpret``), so no
+``pallas_call`` monkeypatching is needed on the CPU test backend."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
 
 from ccd_tpu.losses import dino_char_loss
 from ccd_tpu.losses.losses import dino_char_loss_fused
-
-
-@pytest.fixture(autouse=True)
-def interpret_mode(monkeypatch):
-    orig = pl.pallas_call
-    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
-    yield
 
 
 def _inputs(b=2, t=4, k=512, seed=0):

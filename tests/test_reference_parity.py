@@ -315,3 +315,102 @@ def test_dino_finetune_full_model_parity():
 
     np.testing.assert_allclose(j_probs, t_probs, atol=1e-4)
     np.testing.assert_array_equal(j_probs.argmax(-1), t_probs.argmax(-1))
+
+
+# ------------------------------------------------------------------ export
+# (flax -> torch, the inverse direction: a ccd-tpu-TRAINED model must be
+# loadable and bit-equivalent on the reference stack, round-3 VERDICT #4)
+
+def test_export_recognizer_decodes_on_reference():
+    """Train a CCDRecognizer a few steps, export via torch_export, strict-load
+    into the reference's DINO_Finetune (dino_vision.py:135-290) and assert
+    token-for-token greedy-decode + teacher-forced-logit parity."""
+    from ccd_tpu.checkpoints.torch_export import export_recognizer_state_dict
+    from ccd_tpu.training import init_finetune_state, make_finetune_step
+
+    ours = CCDRecognizer(arch="vit_tiny")
+    state, tx = init_finetune_state(jax.random.PRNGKey(42), ours)
+    step = jax.jit(make_finetune_step(
+        ours, tx, base_lr=1e-3, min_lr=1e-6, total_iters=10, warmup_iters=0,
+        weight_decay=0.01, clip_grad=5.0))
+    rng = np.random.default_rng(42)
+    for i in range(2):
+        img = jnp.asarray(rng.normal(size=(2, 32, 128, 3)).astype(np.float32))
+        tgt = rng.integers(0, 90, size=(2, 25)).astype(np.int32)
+        tgt[:, 0] = 91
+        tgt[0, 6:] = 92
+        tgt[1, 4:] = 92
+        state, _ = step(state, img, jnp.asarray(tgt))
+    params = jax.device_get(state.params)
+
+    sd = export_recognizer_state_dict(params)
+    ref = RefDINOFinetune(_finetune_config()).eval()
+    # strict load: every reference parameter must be covered, name-for-name
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True)
+    img = rng.normal(size=(2, 3, 32, 128)).astype(np.float32)
+    with torch.no_grad():
+        t_probs = ref(torch.from_numpy(img), None, return_loss=False).numpy()
+    j_probs = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(img.transpose(0, 2, 3, 1)),
+        train_mode=False))
+    np.testing.assert_array_equal(j_probs.argmax(-1), t_probs.argmax(-1))
+    np.testing.assert_allclose(j_probs, t_probs, atol=2e-4)
+
+
+def test_export_pretrain_loads_on_reference_strict():
+    """export_pretrain_state_dicts covers the reference ABIDINOModel's full
+    state_dict name-for-name (strict=True), both branches (train.py:62-91)."""
+    from ccd_tpu.checkpoints.torch_export import export_pretrain_state_dicts
+    from ccd_tpu.training import init_pretrain_state
+
+    student = CCDPretrainModel(arch="vit_tiny", out_dim=512,
+                               with_seg_head=True, norm_last_layer=False)
+    teacher = CCDPretrainModel(arch="vit_tiny", out_dim=512,
+                               with_seg_head=False)
+    state, _ = init_pretrain_state(jax.random.PRNGKey(3), student, teacher)
+    sds = export_pretrain_state_dicts(
+        jax.device_get(state.student_params),
+        jax.device_get(state.teacher_params),
+        jax.device_get(state.student_stats))
+
+    t_backbone = ref_vits.vit_tiny(patch_size=4)
+    t_head = ref_vits.DINOHead(192, 512, use_bn=False, norm_last_layer=False)
+    t_seg = RefSegHead(in_channels=192, mla_channels=128, mlahead_channels=64,
+                       num_classes=2)
+    ref_student = RefABIDINOModel(t_backbone, t_seg, t_head)
+    ref_student.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sds["student"].items()}, strict=True)
+    ref_teacher = RefABIDINOModel(ref_vits.vit_tiny(patch_size=4), None,
+                                  ref_vits.DINOHead(192, 512, use_bn=False))
+    ref_teacher.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sds["teacher"].items()}, strict=True)
+
+    # and the teacher forward agrees with ours (full branch, like
+    # test_abidino_teacher_branch_parity but export-direction)
+    rng = np.random.default_rng(9)
+    b = 2
+    x = rng.normal(size=(b, 3, 3, 32, 128)).astype(np.float32)  # (B, views, ...)
+    clusters = np.zeros((2 * b, 26, 32, 128), dtype=np.float32)
+    for i in range(2 * b):
+        for c in range(2 + i % 2):
+            clusters[i, c, 6:26, 10 + 30 * c:30 + 30 * c] = 1.0
+    ref_teacher.eval()
+    with torch.no_grad():
+        t_res = ref_teacher(torch.from_numpy(x), None, None, None,
+                            clusters=torch.from_numpy(clusters), index=None)
+    t_out = t_res["instances_view"].numpy()
+
+    xj = jnp.asarray(np.concatenate([x[:, 1], x[:, 2]]).transpose(0, 2, 3, 1))
+    region_f, _ = teacher.apply({"params": state.teacher_params}, xj,
+                                method="encode")
+    j_logits, j_index = teacher.apply({"params": state.teacher_params},
+                                      region_f, jnp.asarray(clusters),
+                                      method="pool_project")
+    valid = np.asarray(char_validity_mask(j_index[:b]))
+    j_out = np.asarray(j_logits)
+    j_ragged = np.concatenate([j_out[:b][valid], j_out[b:][valid]])
+    np.testing.assert_allclose(j_ragged, t_out, atol=3e-4, rtol=1e-4)

