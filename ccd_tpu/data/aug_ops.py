@@ -174,18 +174,46 @@ def op_additive_laplace(key, x, scale_max=0.2):
     return jnp.clip(x + jax.random.laplace(k2, (b, h, w, 1)) * sigma, 0, 1)
 
 
-def op_additive_poisson(key, x, lam_max=40.0):
-    """iaa.AdditivePoissonNoise(lam=(0, 40)): adds Poisson(lam)/255 samples.
+def poisson_counts(key, lam: jnp.ndarray, shape, k_max: int = 128,
+                   chunk: int = 32) -> jnp.ndarray:
+    """Exact Poisson sampling by inverse-CDF compare-sum (gather-free).
 
-    Poisson counts are approximated by round(clip(N(lam, lam), 0)) — matched
-    mean/variance, indistinguishable as image noise for lam in this range —
-    because jax.random.poisson supports only the threefry PRNG and its
-    rejection sampler is slow on TPU (documented approximation)."""
+    ``lam``: (B,) per-sample rates; returns float counts of shape
+    ``(B, *shape)``. The per-sample CDF table ``cdf[b, n] = P(X <= n)`` is
+    built in log space (``n log lam - lam - lgamma(n+1)``, cumsum of exp) and
+    each uniform draw is inverted as ``count = sum_n [u > cdf_n]`` — a
+    broadcast compare-sum processed ``chunk`` entries per scan step so no
+    (B, *shape, k_max) intermediate is ever materialized. Distributionally
+    exact up to the k_max truncation: for lam <= 40,
+    ``P(X > 128) < 1e-28`` — far below the 2^-32 resolution of the uniform
+    draw itself. (jax.random.poisson is threefry-only and its rejection
+    sampler is slow on TPU; this is the TPU-native equivalent.)
+    """
+    k1, k2 = jax.random.split(key)
+    n = jnp.arange(k_max, dtype=jnp.float32)
+    logpmf = n[None, :] * jnp.log(lam[:, None]) - lam[:, None] \
+        - jax.lax.lgamma(n[None, :] + 1.0)
+    cdf = jnp.cumsum(jnp.exp(logpmf), axis=-1)                  # (B, k_max)
+    u = jax.random.uniform(k2, (lam.shape[0],) + tuple(shape))
+    bshape = (lam.shape[0],) + (1,) * len(shape)
+
+    def body(count, cdf_chunk):                                 # (B, chunk)
+        cc = cdf_chunk.reshape(bshape + (chunk,))
+        return count + jnp.sum(u[..., None] > cc, axis=-1,
+                               dtype=jnp.float32), None
+
+    chunks = cdf.reshape(lam.shape[0], k_max // chunk, chunk).transpose(1, 0, 2)
+    count, _ = jax.lax.scan(body, jnp.zeros_like(u), chunks)
+    return count
+
+
+def op_additive_poisson(key, x, lam_max=40.0):
+    """iaa.AdditivePoissonNoise(lam=(0, 40)): adds Poisson(lam)/255 samples,
+    drawn EXACTLY via the inverse-CDF compare-sum (``poisson_counts``)."""
     k1, k2 = jax.random.split(key)
     b, h, w, _ = x.shape
-    lam = jnp.maximum(_u(k1, b, 0.0, lam_max), 1e-3)
-    noise = jnp.round(jnp.maximum(
-        lam + jnp.sqrt(lam) * jax.random.normal(k2, (b, h, w, 1)), 0.0))
+    lam = jnp.maximum(_u(k1, b, 0.0, lam_max).reshape(b), 1e-3)
+    noise = poisson_counts(k2, lam, (h, w, 1))
     return jnp.clip(x + noise.astype(x.dtype) / 255.0, 0, 1)
 
 
@@ -714,21 +742,62 @@ def op_median_blur(key, x):
     return m3 * (1 - use5) + m5 * use5
 
 
+def motion_blur_kernel(angle_deg: jnp.ndarray, direction: jnp.ndarray,
+                       k: int = 5) -> jnp.ndarray:
+    """Per-sample k x k motion-blur kernels, imgaug construction.
+
+    imgaug's MotionBlur (``imgaug/augmenters/blur.py``) builds a k x k matrix
+    whose center column is ``linspace(d, 1 - d, k)`` with
+    ``d = (clip(direction, -1, 1) + 1) / 2``, rotates it by ``angle`` with
+    bilinear (order=1) interpolation and zero fill, and normalizes by the sum.
+    The bilinear rotation of that single-column image has a closed form:
+    ``K[i, j] = tri(sx) * sum_y w_y * tri(sy - y)`` with ``(sy, sx)`` the
+    inverse-rotated cell offset and ``tri(t) = max(0, 1 - |t|)`` — evaluated
+    here for all k*k cells at once, no resampling loop.
+
+    angle_deg, direction: (B,) -> kernels (B, k, k), each summing to 1.
+    """
+    r = k // 2
+    d = (jnp.clip(direction, -1.0, 1.0) + 1.0) / 2.0            # (B,)
+    wline = d[:, None] + (1.0 - 2.0 * d[:, None]) * (
+        jnp.arange(k, dtype=angle_deg.dtype) / (k - 1))          # (B, k)
+    theta = angle_deg * (jnp.pi / 180.0)
+    c, s = jnp.cos(theta)[:, None, None], jnp.sin(theta)[:, None, None]
+    cy, cx = jnp.meshgrid(jnp.arange(k, dtype=angle_deg.dtype) - r,
+                          jnp.arange(k, dtype=angle_deg.dtype) - r,
+                          indexing="ij")                         # (k, k)
+    sy = c * cy - s * cx                                         # (B, k, k)
+    sx = s * cy + c * cx
+
+    def tri(t):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+    # column weight at offset y-r for each line row y: (B, k, k, k) is tiny
+    row = jnp.sum(wline[:, None, None, :]
+                  * tri(sy[..., None] - (jnp.arange(k, dtype=sy.dtype) - r)),
+                  axis=-1)
+    kern = tri(sx) * row
+    return kern / jnp.sum(kern, axis=(1, 2), keepdims=True)
+
+
 def op_motion_blur(key, x, k=5):
-    """iaa.MotionBlur(k=5): 5-tap line blur along a random direction,
-    restricted to {horizontal, vertical, 2 diagonals}."""
+    """iaa.MotionBlur(k=5, angle=(0, 360), direction=(-1.0, 1.0)): per-sample
+    rotated 5x5 line kernel (``motion_blur_kernel``) applied as 25 shifted
+    multiply-adds with edge padding (imgaug/cv2.filter2D uses reflect-101;
+    at 32x128 the border rows differ only in the outermost pixel ring)."""
     b, h, w, _ = x.shape
+    k1, k2 = jax.random.split(key)
+    angle = jax.random.uniform(k1, (b,), minval=0.0, maxval=360.0)
+    direction = jax.random.uniform(k2, (b,), minval=-1.0, maxval=1.0)
+    kern = motion_blur_kernel(angle, direction, k).astype(x.dtype)
     r = k // 2
     xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
-    dirs = [(0, 1), (1, 0), (1, 1), (1, -1)]
-    blurs = []
-    for dy, dx in dirs:
-        acc = sum(xp[:, r + dy * t:r + dy * t + h, r + dx * t:r + dx * t + w]
-                  for t in range(-r, r + 1))
-        blurs.append(acc / k)
-    choice = jax.random.randint(key, (b,), 0, len(dirs))
-    sel = jax.nn.one_hot(choice, len(dirs), dtype=x.dtype)
-    return jnp.einsum("nbhwc,bn->bhwc", jnp.stack(blurs), sel)
+    out = jnp.zeros_like(x)
+    for i in range(k):
+        for j in range(k):
+            out = out + kern[:, i, j, None, None, None] \
+                * xp[:, i:i + h, j:j + w]
+    return out
 
 
 def bilateral_filter(x: jnp.ndarray, sigma_color: jnp.ndarray,

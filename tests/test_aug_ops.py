@@ -344,3 +344,88 @@ def test_supervised_changes_most_samples():
     same = np.isclose(out, np.asarray(x), atol=1e-6).all(axis=(1, 2, 3))
     assert same.mean() < 0.15  # five independent 0.6-0.8 stages
     assert np.isfinite(out).all()
+
+
+def test_motion_blur_kernel_imgaug_construction():
+    """motion_blur_kernel reproduces imgaug's rotated-line construction at
+    the axis-aligned angles where the bilinear rotation is exact."""
+    angles = jnp.asarray([0.0, 90.0, 180.0, 45.0])
+    dirs = jnp.asarray([-1.0, 0.0, 0.5, 0.0])
+    kerns = np.asarray(A.motion_blur_kernel(angles, dirs, 5))
+    assert np.allclose(kerns.sum((1, 2)), 1.0, atol=1e-5)
+    assert (kerns >= -1e-7).all()
+    # angle=0, direction=-1 -> d=0 -> center column linspace(0, 1, 5)/2.5
+    expect = np.zeros((5, 5), np.float32)
+    expect[:, 2] = np.linspace(0.0, 1.0, 5) / 2.5
+    assert np.allclose(kerns[0], expect, atol=1e-5)
+    # angle=90, direction=0 -> d=0.5 -> uniform horizontal line
+    expect = np.zeros((5, 5), np.float32)
+    expect[2, :] = 0.2
+    assert np.allclose(kerns[1], expect, atol=1e-5)
+    # angle=180 == angle 0 point-reflected through the center
+    k0 = np.asarray(A.motion_blur_kernel(jnp.asarray([0.0]),
+                                         jnp.asarray([0.5]), 5))[0]
+    assert np.allclose(kerns[2], k0[::-1, ::-1], atol=1e-5)
+    # angle=45: mass lies on the anti-diagonal (bilinearly feathered), none
+    # on the main diagonal's off-center cells
+    assert kerns[3][2, 2] > 0.1
+    assert kerns[3][1, 3] > 0.05 and kerns[3][3, 1] > 0.05
+    assert abs(kerns[3][1, 1]) < 1e-6 and abs(kerns[3][3, 3]) < 1e-6
+
+
+def test_motion_blur_preserves_mean(imgs):
+    """Kernels sum to 1 and edge padding is mean-neutral on smooth borders."""
+    out = np.asarray(A.op_motion_blur(jax.random.PRNGKey(7), imgs))
+    x = np.asarray(imgs)
+    assert out.shape == x.shape
+    assert np.isfinite(out).all()
+    assert abs(out.mean() - x.mean()) < 0.02
+    assert not np.allclose(out, x, atol=1e-4)  # it actually blurs
+
+
+def test_poisson_counts_exact_distribution():
+    """Inverse-CDF compare-sum draws match the exact Poisson pmf (the old
+    moment-matched gaussian fails the low-lambda pmf check badly)."""
+    from math import lgamma
+
+    lams = [0.5, 7.3, 40.0]
+    counts = np.asarray(A.poisson_counts(jax.random.PRNGKey(5),
+                                         jnp.asarray(lams), (160, 160)))
+    n = 160 * 160
+    for b, lam in enumerate(lams):
+        c = counts[b].ravel()
+        assert abs(c.mean() - lam) < 5 * np.sqrt(lam / n) + 1e-3
+        assert abs(c.var() - lam) < 0.08 * lam + 0.05
+        # per-bin frequencies within 5 sigma of the exact pmf
+        for k in range(0, int(lam + 4 * np.sqrt(lam)) + 1):
+            p = np.exp(k * np.log(lam) - lam - lgamma(k + 1))
+            if p < 1e-4:
+                continue
+            emp = (c == k).mean()
+            assert abs(emp - p) < 5 * np.sqrt(p * (1 - p) / n) + 1e-4, \
+                (lam, k, emp, p)
+
+
+def test_weather_quantified_envelopes(imgs):
+    """Pinned output envelopes for the procedural weather ops (PARITY.md):
+    regressions in density/strength sampling are caught here."""
+    x = np.asarray(imgs)
+    headroom = 1.0 - x.mean(axis=(1, 2, 3))                    # per-sample
+
+    fog = np.asarray(A.op_fog(jax.random.PRNGKey(21), imgs))
+    lift = fog.mean(axis=(1, 2, 3)) - x.mean(axis=(1, 2, 3))
+    assert (fog >= x - 1e-6).all()                 # pure blend toward white
+    assert (lift > 0.15 * headroom).all() and (lift < 0.95 * headroom).all()
+
+    clouds = np.asarray(A.op_clouds(jax.random.PRNGKey(25), imgs))
+    assert (clouds >= x - 1e-6).all()              # additive bright layer
+    clift = clouds.mean(axis=(1, 2, 3)) - x.mean(axis=(1, 2, 3))
+    assert (clift < 0.5).all()
+
+    snow = np.asarray(A.op_snowflakes(jax.random.PRNGKey(22), imgs))
+    cover = (snow > x + 0.05).mean(axis=(1, 2, 3))
+    assert (cover > 0.001).all() and (cover < 0.20).all()
+
+    rain = np.asarray(A.op_rain(jax.random.PRNGKey(23), imgs))
+    rcover = (rain > x + 0.05).mean(axis=(1, 2, 3))
+    assert (rcover > 0.0005).all() and (rcover < 0.12).all()
