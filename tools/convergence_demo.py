@@ -59,7 +59,8 @@ def _parse_args():
     p.add_argument("--eval_batch", type=int, default=250)
     p.add_argument("--eval_iters", type=int, default=500)
     p.add_argument("--lr_pretrain", type=float, default=5e-4)
-    p.add_argument("--lr_finetune", type=float, default=3e-4)
+    p.add_argument("--lr_finetune", type=float, default=1e-3)
+    p.add_argument("--ft_warmup_epochs", type=int, default=1)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--easy", action="store_true",
                    help="easy rendering distribution (debug/micro runs)")
@@ -210,7 +211,7 @@ def finetune_config(args, dirs, name: str, pretrain_ckpt) -> dict:
                     "max_seq_len": 25, "start_idx": 91, "padding_idx": 92},
         "arch": args.arch, "patch_size": 4, "weight_decay": 0.05,
         "clip_grad": 5.0, "lr": args.lr_finetune, "min_lr": 1e-6,
-        "warmup_epochs": 0, "drop_path_rate": 0.1,
+        "warmup_epochs": args.ft_warmup_epochs, "drop_path_rate": 0.1,
         "compute_dtype": args.dtype,
     }
 
