@@ -35,6 +35,11 @@ def main():
                         help="benchmark greedy-decode inference instead of pretrain")
     parser.add_argument("--finetune", action="store_true",
                         help="benchmark the supervised finetune step instead")
+    parser.add_argument("--arch", type=str, default="vit_small",
+                        help="backbone for the pretrain bench (vit_small is "
+                             "the headline; vit_base = the reference's "
+                             "CCD_pretrain_ViT_Base.yaml geometry, default "
+                             "batch 48/chip like Dino/configs)")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--remat", action="store_true",
@@ -82,8 +87,15 @@ def main():
 
     if args.smoke:
         arch, out_dim, batch, dtype = "vit_tiny", 1024, 8, jnp.float32
+    elif args.arch == "vit_base":
+        # reference ViT-Base pretrain geometry: batch 48/chip
+        # (Dino/configs/CCD_pretrain_ViT_Base.yaml). NOTE: 48*26 = 1248 rows
+        # is not 128-aligned, so the fused DINO-CE falls back to the XLA
+        # chain at this batch; --batch 64 (B*T = 1664 = 13*128) runs the
+        # fused kernel.
+        arch, out_dim, batch, dtype = "vit_base", 65536, args.batch or 48, jnp.bfloat16
     else:
-        arch, out_dim, batch, dtype = "vit_small", 65536, args.batch or 64, jnp.bfloat16
+        arch, out_dim, batch, dtype = args.arch, 65536, args.batch or 64, jnp.bfloat16
 
     student = CCDPretrainModel(arch=arch, out_dim=out_dim, with_seg_head=True,
                                norm_last_layer=False, drop_path_rate=0.1,
@@ -147,9 +159,9 @@ def main():
     if args.smoke:
         metric = "pretrain_images_per_sec_smoke"
     elif args.predmask:
-        metric = "pretrain_images_per_sec_per_chip_vit_small_predmask"
+        metric = f"pretrain_images_per_sec_per_chip_{arch}_predmask"
     else:
-        metric = "pretrain_images_per_sec_per_chip_vit_small"
+        metric = f"pretrain_images_per_sec_per_chip_{arch}"
     print(json.dumps({
         "metric": metric,
         "value": round(ips, 2),
@@ -213,7 +225,7 @@ def bench_cli(args, jstep, state, batch, k_steps):
 
     ips = batch * k_steps * n_disp / elapsed
     print(json.dumps({
-        "metric": "pretrain_images_per_sec_per_chip_vit_small_cli_e2e",
+        "metric": f"pretrain_images_per_sec_per_chip_{args.arch}_cli_e2e",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / ESTIMATED_3090_IMG_PER_SEC, 3),

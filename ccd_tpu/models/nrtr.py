@@ -278,6 +278,17 @@ class NRTRDecoder(nn.Module):
         every sequence in the batch has emitted EOS (a saner stopping rule
         than the reference's batch-global argmax check). Output is the same
         fixed (B, max_seq_len, C-1) buffer; steps after the stop stay zero.
+
+        Observable difference vs the reference rule: NONE at b=1 (both stop
+        at the first EOS; asserted token-for-token by
+        ``test_nrtr_early_stop_parity_b1``). For b>1 the reference stops
+        when the argmax over the batch-flattened logits lands on EOS — a
+        data-dependent heuristic that can truncate still-running rows or
+        overrun finished ones; this variant instead runs until every row
+        has emitted EOS, so rows never truncate early but trailing
+        positions of short rows stay zero rather than containing the
+        reference's post-EOS garbage logits. The default eval path uses
+        the exact full decode and is unaffected (``--test_speed`` only).
         """
         b, s, _ = out_enc.shape
         l = self.max_seq_len + 1

@@ -70,6 +70,9 @@ def _parse_args():
                    help="reuse an existing phase-1 checkpoint in --workdir")
     p.add_argument("--skip_handoff", action="store_true")
     p.add_argument("--skip_scratch", action="store_true")
+    p.add_argument("--resummarize", action="store_true",
+                   help="run nothing; rebuild CONVERGENCE.json from the "
+                        "logs already in --workdir")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -217,12 +220,22 @@ def finetune_config(args, dirs, name: str, pretrain_ckpt) -> dict:
 
 
 def parse_eval_log(path: str):
-    """(best, final) total_accuracy from log_all_evaluation.txt."""
+    """(best, final, [[iteration, acc], ...]) from log_all_evaluation.txt."""
     if not os.path.exists(path):
-        return None, None
-    accs = [float(m) for m in
-            re.findall(r"total_accuracy:\s*([0-9.]+)", open(path).read())]
-    return (max(accs), accs[-1]) if accs else (None, None)
+        return None, None, []
+    text = open(path).read()
+    traj = [[int(i), float(a)] for i, a in
+            re.findall(r"iteration:\s*(\d+)\s*\n(?:dataset:[^\n]*\n)+"
+                       r"total_accuracy:\s*([0-9.]+)", text)]
+    accs = [float(m) for m in re.findall(r"total_accuracy:\s*([0-9.]+)", text)]
+    if not accs:
+        return None, None, []
+    # drop the duplicate final-eval entry train_finetune.py appends
+    dedup = []
+    for it, acc in traj:
+        if not dedup or dedup[-1][0] != it:
+            dedup.append([it, acc])
+    return max(accs), accs[-1], dedup
 
 
 def parse_pretrain_losses(log_dir: str):
@@ -238,6 +251,8 @@ def parse_pretrain_losses(log_dir: str):
 
 def main():
     args = _parse_args()
+    if args.resummarize:
+        args.skip_pretrain = args.skip_handoff = args.skip_scratch = True
     if args.smoke:
         _smoke_overrides(args)
     if args.workdir is None:
@@ -255,7 +270,8 @@ def main():
         "eval_root": os.path.join(data_dir, "evaluation", "SYNTH_EVAL"),
         "mask_root": os.path.join(data_dir, "Mask"),
     }
-    generate_corpora(args, data_dir)
+    if not args.resummarize:
+        generate_corpora(args, data_dir)
 
     env = dict(os.environ)
     if args.smoke:
@@ -278,33 +294,62 @@ def main():
     results = {}
     for name, ckpt, skip in (("conv_ft_handoff", pretrain_ckpt, args.skip_handoff),
                              ("conv_ft_scratch", None, args.skip_scratch)):
-        if skip:
+        if skip and not args.resummarize:
             continue
-        shutil.rmtree(os.path.join(dirs["ckpt"], name), ignore_errors=True)
-        shutil.rmtree(os.path.join(dirs["logs"], name), ignore_errors=True)
-        cfg = _write_yaml(os.path.join(cfg_dir, f"{name}.yaml"),
-                          finetune_config(args, dirs, name, ckpt))
-        _run([sys.executable, "train_finetune.py", "-c", cfg,
-              "--max_iters", str(args.finetune_iters)],
-             env, os.path.join(args.workdir, f"{name}.log"))
-        best, final = parse_eval_log(
+        if not skip:
+            shutil.rmtree(os.path.join(dirs["ckpt"], name), ignore_errors=True)
+            shutil.rmtree(os.path.join(dirs["logs"], name), ignore_errors=True)
+            cfg = _write_yaml(os.path.join(cfg_dir, f"{name}.yaml"),
+                              finetune_config(args, dirs, name, ckpt))
+            _run([sys.executable, "train_finetune.py", "-c", cfg,
+                  "--max_iters", str(args.finetune_iters)],
+                 env, os.path.join(args.workdir, f"{name}.log"))
+        best, final, traj = parse_eval_log(
             os.path.join(dirs["ckpt"], name, "log_all_evaluation.txt"))
+        if best is None and args.resummarize:
+            continue
         results[name.replace("conv_ft_", "")] = {
-            "best_acc": best, "final_acc": final}
+            "best_acc": best, "final_acc": final,
+            "trajectory_iter_acc": traj}
+
+    # phases skipped this invocation keep their entry from the existing
+    # CONVERGENCE.json (same workdir/corpora seeds => comparable), so a
+    # handoff-only rerun doesn't clobber the scratch ablation or vice versa
+    out_path = os.path.join(REPO, "CONVERGENCE.json")
+    prior = {}
+    if os.path.exists(out_path):
+        try:
+            prior = json.load(open(out_path))
+        except Exception:
+            prior = {}
+    for key, skipped in (("handoff", args.skip_handoff),
+                         ("scratch", args.skip_scratch)):
+        if skipped and key not in results and key in prior:
+            results[key] = prior[key]
 
     loss0, loss1 = parse_pretrain_losses(
         os.path.join(dirs["logs"], "conv_pretrain"))
-    summary = {
-        "pretrain": {"iters": args.pretrain_iters, "arch": args.arch,
+    pretrain_meta = {"iters": args.pretrain_iters, "arch": args.arch,
                      "out_dim": args.out_dim,
                      "samples": args.pretrain_samples,
-                     "loss_first_logged": loss0, "loss_last_logged": loss1},
-        "finetune": {"iters": args.finetune_iters,
+                     "loss_first_logged": loss0, "loss_last_logged": loss1}
+    finetune_meta = {"iters": args.finetune_iters,
                      "labeled_samples": args.labeled,
-                     "eval_samples": args.eval_samples},
+                     "eval_samples": args.eval_samples}
+    if args.resummarize:
+        # the run metadata can't be reconstructed from logs; keep the prior
+        # artifact's (the actual run's) values rather than this CLI's defaults
+        pretrain_meta = {**prior.get("pretrain", pretrain_meta),
+                         "loss_first_logged": loss0,
+                         "loss_last_logged": loss1}
+        finetune_meta = prior.get("finetune", finetune_meta)
+    summary = {
+        "pretrain": pretrain_meta,
+        "finetune": finetune_meta,
         **results,
         "smoke": bool(args.smoke),
-        "command": " ".join(sys.argv),
+        "command": prior.get("command", "") if args.resummarize
+                   else " ".join(sys.argv),
     }
     out_path = os.path.join(REPO, "CONVERGENCE.json")
     with open(out_path, "w") as f:
@@ -316,7 +361,8 @@ def main():
         delta = h["best_acc"] - s["best_acc"]
         print(f"[verdict] handoff {h['best_acc']:.3f} vs scratch "
               f"{s['best_acc']:.3f} (Δ {delta:+.3f}) at "
-              f"{args.finetune_iters} iters / {args.labeled} labels")
+              f"{finetune_meta['iters']} iters / "
+              f"{finetune_meta['labeled_samples']} labels")
 
 
 if __name__ == "__main__":
