@@ -127,7 +127,7 @@ def main():
     jstep = jax.jit(step, donate_argnums=(0,))
 
     if args.cli:
-        return bench_cli(args, jstep, state, batch, k_steps)
+        return bench_cli(args, jstep, state, batch, k_steps, arch)
 
     images_u8, masks, _ = make_synthetic_batch(batch, seed=0)
     raw = jnp.asarray(images_u8, jnp.float32) / 255.0
@@ -170,7 +170,7 @@ def main():
     }))
 
 
-def bench_cli(args, jstep, state, batch, k_steps):
+def bench_cli(args, jstep, state, batch, k_steps, arch):
     """End-to-end pretrain throughput INCLUDING the real host input
     pipeline: a synthetic LMDB on disk, the production PretrainDataset +
     threaded DataLoader (decode + resize + mask threshold on the host), the
@@ -225,7 +225,9 @@ def bench_cli(args, jstep, state, batch, k_steps):
 
     ips = batch * k_steps * n_disp / elapsed
     print(json.dumps({
-        "metric": f"pretrain_images_per_sec_per_chip_{args.arch}_cli_e2e",
+        # `arch` is main()'s RESOLVED arch (vit_tiny under --smoke), not the
+        # args.arch default that may not match the smoke config (ADVICE r4 #2)
+        "metric": f"pretrain_images_per_sec_per_chip_{arch}_cli_e2e",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / ESTIMATED_3090_IMG_PER_SEC, 3),

@@ -74,7 +74,8 @@ def load_recognizer_params(path: str, model: CCDRecognizer,
     CheckpointManager root, or a single CheckpointManager step dir
     (``.../<step>`` as written by the finetune CLI)."""
     if is_torch_checkpoint(path):
-        depth = 12
+        from ccd_tpu.models.vit import VIT_ARCHS
+        depth = VIT_ARCHS[model.arch].keywords["depth"]
         return convert_recognizer_checkpoint(path, n_layers=model.decoder_n_layers,
                                              depth=depth)
     from ccd_tpu.checkpoints.orbax_io import CheckpointManager, restore_pytree

@@ -117,7 +117,15 @@ class DataLoader:
                     i, bidx = in_q.get_nowait()
                 except queue.Empty:
                     return
-                batch = self._fetch_batch(bidx)
+                try:
+                    batch = self._fetch_batch(bidx)
+                except BaseException as e:
+                    # a dataset exception must surface in the consumer, not
+                    # silently kill the thread (which would leave __iter__
+                    # blocked on out_q.get() forever) — torch's DataLoader
+                    # likewise propagates worker errors to the caller
+                    out_q.put((None, e))
+                    return
                 out_q.put((i, batch))
 
         threads = [threading.Thread(target=worker, daemon=True)
@@ -129,6 +137,8 @@ class DataLoader:
             received = 0
             while received < len(batches):
                 i, batch = out_q.get()
+                if i is None:  # worker error sentinel — re-raise here
+                    raise batch
                 received += 1
                 with lock:
                     results[i] = batch

@@ -97,31 +97,78 @@ def test_grayscale_alpha_bounds(imgs):
     assert (out >= lo - 1e-5).all() and (out <= hi + 1e-5).all()
 
 
-def test_median_and_average_blur_match_scipy(imgs):
-    """k=3 median is the exact 2-D median (network-verified vs scipy); k=5
-    is the separable median (row then column 5-medians) — verified against
-    the equivalent two-pass scipy filter."""
+def test_median_blur_matches_scipy(imgs):
+    """k=3 median is the exact 2-D median (network-verified vs scipy);
+    k=5/k=7 are separable medians (row then column medians) — verified
+    against the equivalent two-pass scipy filters. Every sample must match
+    exactly one of the three candidates (the imgaug draw {3,5,5,7,7})."""
     from scipy import ndimage as ndi
     x = np.asarray(imgs)
     med = np.asarray(A.op_median_blur(jax.random.PRNGKey(7), imgs))
-    avg = np.asarray(A.op_average_blur(jax.random.PRNGKey(7), imgs))
-    interior = (slice(3, -3), slice(3, -3))
+    interior = (slice(4, -4), slice(4, -4))
     for i in range(x.shape[0]):
-        refs = []
-        refs.append(np.stack([ndi.median_filter(x[i, ..., c], size=3)
-                              for c in range(3)], -1))
-        refs.append(np.stack([
-            ndi.median_filter(ndi.median_filter(x[i, ..., c], size=(1, 5)),
-                              size=(5, 1)) for c in range(3)], -1))
+        refs = [np.stack([ndi.median_filter(x[i, ..., c], size=3)
+                          for c in range(3)], -1)]
+        for k in (5, 7):
+            refs.append(np.stack([
+                ndi.median_filter(ndi.median_filter(x[i, ..., c], size=(1, k)),
+                                  size=(k, 1)) for c in range(3)], -1))
         assert any(np.allclose(med[i][interior], r[interior], atol=1e-4)
                    for r in refs), f"median sample {i}"
-        ok = False
-        for k in (3, 5):
-            ref = np.stack([ndi.uniform_filter(x[i, ..., c], size=k)
-                            for c in range(3)], -1)
-            if np.allclose(avg[i][interior], ref[interior], atol=1e-4):
-                ok = True
-        assert ok, f"average sample {i}"
+
+
+def test_median7_network_is_true_median():
+    """Devillard's 13-exchange median-of-7 network vs np.median, fuzzed."""
+    rng = np.random.default_rng(11)
+    v = rng.random((7, 4096)).astype(np.float32)
+    got = np.asarray(A._med7(*[jnp.asarray(r) for r in v]))
+    np.testing.assert_array_equal(got, np.median(v, axis=0))
+
+
+def test_average_blur_matches_cv2_all_k(imgs):
+    """op_average_blur vs cv2.blur for every k in {2..6} — including the
+    EVEN kernels and their anchor-at-k//2 half-pixel phase. Each sample
+    must match exactly the cv2 result for its drawn k, and all five ks
+    must occur across a larger batch."""
+    import cv2
+    rng = np.random.default_rng(5)
+    x = rng.random((64, 32, 64, 3)).astype(np.float32)
+    avg = np.asarray(A.op_average_blur(jax.random.PRNGKey(7), jnp.asarray(x)))
+    interior = (slice(4, -4), slice(4, -4))
+    seen = set()
+    for i in range(x.shape[0]):
+        matched = None
+        for k in (2, 3, 4, 5, 6):
+            ref = cv2.blur(x[i], (k, k))
+            if np.allclose(avg[i][interior], ref[interior], atol=1e-5):
+                matched = k
+                break
+        assert matched is not None, f"average sample {i} matches no cv2 k"
+        seen.add(matched)
+    assert seen == {2, 3, 4, 5, 6}, f"ks drawn: {seen}"
+
+
+def test_bilateral_sampled_d_matches_cv2(imgs):
+    """bilateral_filter with per-sample radius (cv2 d//2) vs
+    cv2.bilateralFilter at d ∈ {3, 6, 9} — the sampled-d path of
+    op_bilateral_blur (VERDICT r4 #7)."""
+    import cv2
+    u8 = np.asarray(np.round(np.asarray(imgs) * 255.0), np.uint8)
+    sc, ss = 75.0, 40.0
+    b = u8.shape[0]
+    for d in (3, 6, 9):
+        rad = np.full((b, 1, 1, 1), d // 2, np.int32)
+        ours = np.asarray(A.bilateral_filter(
+            jnp.asarray(u8.astype(np.float32) / 255.0),
+            jnp.full((b, 1, 1, 1), sc), jnp.full((b, 1, 1, 1), ss),
+            radius=jnp.asarray(rad), max_radius=5)) * 255.0
+        ref = np.stack([
+            cv2.bilateralFilter(img, d=d, sigmaColor=sc, sigmaSpace=ss)
+            for img in u8
+        ]).astype(np.float32)
+        m = d // 2 + 1
+        diff = np.abs(ours - ref)[:, m:-m, m:-m]
+        assert diff.max() <= 0.5 + 1e-3, (d, diff.max())
 
 
 def test_gaussian_blur_matches_scipy(imgs):
@@ -354,9 +401,11 @@ def test_motion_blur_kernel_imgaug_construction():
     kerns = np.asarray(A.motion_blur_kernel(angles, dirs, 5))
     assert np.allclose(kerns.sum((1, 2)), 1.0, atol=1e-5)
     assert (kerns >= -1e-7).all()
-    # angle=0, direction=-1 -> d=0 -> center column linspace(0, 1, 5)/2.5
+    # angle=0, direction=-1 -> d=0 -> center column linspace(0, 1, 5),
+    # uint8-quantized exactly as imgaug's (matrix*255).astype(uint8):
+    # [0, 63, 127, 191, 255]/255, then sum-normalized (ADVICE r4 #1)
     expect = np.zeros((5, 5), np.float32)
-    expect[:, 2] = np.linspace(0.0, 1.0, 5) / 2.5
+    expect[:, 2] = np.array([0, 63, 127, 191, 255], np.float32) / 636.0
     assert np.allclose(kerns[0], expect, atol=1e-5)
     # angle=90, direction=0 -> d=0.5 -> uniform horizontal line
     expect = np.zeros((5, 5), np.float32)
@@ -429,3 +478,64 @@ def test_weather_quantified_envelopes(imgs):
     rain = np.asarray(A.op_rain(jax.random.PRNGKey(23), imgs))
     rcover = (rain > x + 0.05).mean(axis=(1, 2, 3))
     assert (rcover > 0.0005).all() and (rcover < 0.12).all()
+
+
+def test_lab_roundtrip(imgs):
+    """_lab_to_rgb inverts _rgb_to_lab (cv2 float Lab math)."""
+    lum, a, b = A._rgb_to_lab(imgs)
+    back = np.asarray(A._lab_to_rgb(lum, a, b))
+    np.testing.assert_allclose(back, np.asarray(imgs), atol=2e-5)
+
+
+def test_lab_matches_cv2(imgs):
+    """_rgb_to_lab vs cv2.cvtColor(RGB2Lab) on float32 input. cv2's float
+    path itself runs the sRGB gamma through an interpolated LUT (~1/64-step
+    quantization, measured max dev 0.33 from the analytic formula), so the
+    anchor tolerance is 0.7 Lab units — our math is the analytic formula
+    cv2's LUT approximates."""
+    import cv2
+    x = np.asarray(imgs)
+    lum, a, b = (np.asarray(v) for v in A._rgb_to_lab(imgs))
+    ref = np.stack([cv2.cvtColor(img, cv2.COLOR_RGB2Lab) for img in x])
+    np.testing.assert_allclose(lum, ref[..., 0], atol=0.7)
+    np.testing.assert_allclose(a, ref[..., 1], atol=0.7)
+    np.testing.assert_allclose(b, ref[..., 2], atol=0.7)
+
+
+def test_clahe_lab_matches_cv2(imgs):
+    """The op_clahe transfer (CLAHE on the Lab L plane, a/b passed through
+    uint8-quantized) vs the cv2 reference pipeline imgaug runs:
+    cvtColor(RGB2Lab) on uint8 -> createCLAHE().apply(L) -> cvtColor back.
+    Decomposed anchors (measured): on the SAME uint8 L plane our
+    ``clahe_gray`` is BIT-EXACT vs ``cv2.createCLAHE`` — asserted exactly
+    below — so ALL end-to-end deviation comes from cv2's 8-bit colorspace
+    conversions being fixed-point LUTs (1-2 level L shifts, which the
+    histogram transfer then amplifies at sparse-bin pixels). The end-to-end
+    envelope is pinned accordingly: median <= 1.5, mean <= 2.5, <3% of
+    pixels beyond 8 gray levels."""
+    import cv2
+    u8 = np.asarray(np.round(np.asarray(imgs) * 255.0), np.uint8)
+    clip_limit = 4.0
+    b = u8.shape[0]
+    x = jnp.asarray(u8.astype(np.float32) / 255.0)
+    lum, a_ch, b_ch = A._rgb_to_lab(x)
+    l8 = jnp.clip(jnp.round(lum * (255.0 / 100.0)), 0.0, 255.0)
+    a8 = jnp.clip(jnp.round(a_ch + 128.0), 0.0, 255.0)
+    b8 = jnp.clip(jnp.round(b_ch + 128.0), 0.0, 255.0)
+    l_eq = A.clahe_gray(l8 / 255.0, jnp.full((b,), clip_limit)) * 255.0
+    ours = np.asarray(A._lab_to_rgb(l_eq * (100.0 / 255.0),
+                                    a8 - 128.0, b8 - 128.0)) * 255.0
+    cl = cv2.createCLAHE(clipLimit=clip_limit, tileGridSize=(8, 8))
+    # bit-exact CLAHE on the same L plane
+    l_cv = np.stack([cl.apply(np.asarray(l8[i], np.uint8)) for i in range(b)])
+    np.testing.assert_array_equal(np.asarray(l_eq), l_cv.astype(np.float32))
+    refs = []
+    for img in u8:
+        lab = cv2.cvtColor(img, cv2.COLOR_RGB2Lab)
+        lab[..., 0] = cl.apply(lab[..., 0])
+        refs.append(cv2.cvtColor(lab, cv2.COLOR_Lab2RGB))
+    ref = np.stack(refs).astype(np.float32)
+    diff = np.abs(ours - ref)
+    assert np.median(diff) <= 1.5, np.median(diff)
+    assert diff.mean() <= 2.5, diff.mean()
+    assert (diff > 8.0).mean() < 0.03, (diff.max(), (diff > 8.0).mean())

@@ -339,9 +339,13 @@ def main():
     if args.resummarize:
         # the run metadata can't be reconstructed from logs; keep the prior
         # artifact's (the actual run's) values rather than this CLI's defaults
-        pretrain_meta = {**prior.get("pretrain", pretrain_meta),
-                         "loss_first_logged": loss0,
-                         "loss_last_logged": loss1}
+        pretrain_meta = {**prior.get("pretrain", pretrain_meta)}
+        # same rule for the losses: only overwrite the prior's recorded
+        # values when the workdir logs are still present and parseable
+        # (ADVICE r4 #3 — a cleaned-up conv_pretrain dir must not null them)
+        if loss0 is not None or loss1 is not None:
+            pretrain_meta["loss_first_logged"] = loss0
+            pretrain_meta["loss_last_logged"] = loss1
         finetune_meta = prior.get("finetune", finetune_meta)
     summary = {
         "pretrain": pretrain_meta,
