@@ -270,6 +270,12 @@ def bench_finetune(args):
     for _ in range(2):
         state, metrics = jstep(state, raws, tgts)
     float(jax.device_get(metrics["loss"][-1]))  # honest sync (see main())
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+        for _ in range(2):
+            state, metrics = jstep(state, raws, tgts)
+        float(jax.device_get(metrics["loss"][-1]))
+        jax.profiler.stop_trace()
     start = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = jstep(state, raws, tgts)
@@ -309,6 +315,11 @@ def bench_eval(args):
     decode = jax.jit(lambda p, x: model.apply({"params": p}, x, train_mode=False))
     out = decode(params, img)
     float(jax.device_get(out.sum()))  # honest sync (see main())
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+        out = decode(params, img)
+        float(jax.device_get(out.sum()))
+        jax.profiler.stop_trace()
     start = time.perf_counter()
     for _ in range(args.steps):
         out = decode(params, img)

@@ -171,6 +171,23 @@ def test_bilateral_sampled_d_matches_cv2(imgs):
         assert diff.max() <= 0.5 + 1e-3, (d, diff.max())
 
 
+def test_bilateral_pallas_matches_xla(imgs):
+    """The TPU Pallas bilateral (run here in interpret mode) must equal the
+    XLA reference loop tap for tap — both the per-sample-radius and the
+    fixed-radius configurations."""
+    b = imgs.shape[0]
+    sc = jnp.full((b, 1, 1, 1), 75.0)
+    ss = jnp.full((b, 1, 1, 1), 40.0)
+    rad = jnp.asarray(np.array([1, 2, 3, 4, 5, 2]).reshape(b, 1, 1, 1))
+    ref = A.bilateral_filter(imgs, sc, ss, radius=rad, max_radius=5)
+    got = A._bilateral_pallas(imgs, sc, ss, (rad * rad).astype(imgs.dtype), 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+    ref2 = A.bilateral_filter(imgs, sc, ss, radius=2)
+    got2 = A._bilateral_pallas(imgs, sc, ss,
+                               jnp.full((b, 1, 1, 1), 4.0), 2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=2e-6)
+
+
 def test_gaussian_blur_matches_scipy(imgs):
     from scipy import ndimage as ndi
     sigma = jnp.full((6,), 1.0)
