@@ -114,9 +114,10 @@ def _order_slots(sel_c, mean_x, valid):
 
 
 @partial(jax.jit, static_argnames=("num_slots", "min_area", "n_pool",
-                                   "fast_k"))
+                                   "fast_k", "mid_k"))
 def label_clusters(masks: jnp.ndarray, num_slots: int = 26, min_area: int = 30,
-                   n_pool: int = 8, fast_k: int = 64) -> jnp.ndarray:
+                   n_pool: int = 8, fast_k: int = 64,
+                   mid_k: int = 256) -> jnp.ndarray:
     """Batched glyph labeling: (B, H, W) {0,1} masks -> (B, num_slots, H, W).
 
     Channel ``s`` is the one-hot support of the s-th surviving character
@@ -125,13 +126,16 @@ def label_clusters(masks: jnp.ndarray, num_slots: int = 26, min_area: int = 30,
     exact on arbitrary masks, including noisy predicted masks with any
     number of sub-threshold components (fuzz-tested vs a BFS reference).
 
-    Component statistics come from one of two exact paths chosen at runtime
-    by ``lax.cond``: when every image has <= ``fast_k`` components (the
-    overwhelmingly common case for both GT and predicted masks), per-root
-    area/mean-x are computed with VPU compare-sums over the first ``fast_k``
-    raster roots (~0.5 ms); otherwise a batched ``segment_sum`` covers ALL
-    components (a scatter-add, ~6-7 ms on TPU — the price of >64-speck
-    masks, paid only when they occur).
+    Component statistics come from one of three exact paths chosen at
+    runtime by nested ``lax.cond`` on the max per-image component count:
+    <= ``fast_k`` (the overwhelmingly common case for both GT and predicted
+    masks) and <= ``mid_k`` (specky epoch>=30 self-predicted masks) compute
+    per-root area/mean-x with VPU/MXU compare-sums over the first K raster
+    roots (~0.3-0.7 ms; the support one-hot is bf16 with fp32 accumulation,
+    exact for 0/1 values and integer columns < 256); only masks with more
+    than ``mid_k`` components fall back to the batched ``segment_sum`` over
+    ALL components (a scatter-add, ~6-7 ms on TPU — the price of extreme
+    speck storms, paid only when they occur).
     """
     b, h, w = masks.shape
     hw = h * w
@@ -149,26 +153,35 @@ def label_clusters(masks: jnp.ndarray, num_slots: int = 26, min_area: int = 30,
     cols_f = (jnp.arange(hw, dtype=jnp.int32) % w).astype(jnp.float32)
     roots = flat_fg & (flat_lbl == flat_idx)
 
-    def fast_path(_):
-        # areas/mean-x for the first `fast_k` roots via support compare-sums
-        key = jnp.where(roots, -flat_idx, -big)
-        top_vals, _ = lax.top_k(key, fast_k)               # (B, K)
-        ridx = -top_vals                                   # ascending raster
-        rvalid = ridx < big
-        support = ((flat_lbl[:, None, :] == ridx[:, :, None])
-                   & flat_fg[:, None, :]).astype(jnp.float32)  # (B, K, HW)
-        areas_k = support.sum(-1)
-        sumx_k = support @ cols_f                          # (B, K)
-        survives = rvalid & (areas_k >= float(min_area))
-        # first `num_slots` survivors in raster order (stable compaction)
-        pos = jnp.broadcast_to(jnp.arange(fast_k)[None], (b, fast_k))
-        compact = jnp.where(survives, pos, fast_k + pos)
-        order1 = jnp.argsort(compact, axis=1)[:, :s_slots]
-        kept_valid = jnp.take_along_axis(survives, order1, axis=1)
-        mean_k = sumx_k / jnp.maximum(areas_k, 1.0)
-        kept_meanx = jnp.take_along_axis(mean_k, order1, axis=1)
-        sel = jnp.minimum(jnp.take_along_axis(ridx, order1, axis=1), hw - 1)
-        return _order_slots(sel, kept_meanx, kept_valid)
+    ones_cols = jnp.stack([jnp.ones_like(cols_f), cols_f], axis=1
+                          ).astype(jnp.bfloat16)           # (HW, 2)
+
+    def make_fast_path(k_roots):
+        def fast_path(_):
+            # areas/mean-x for the first `k_roots` roots via compare-sums:
+            # the bf16 one-hot support matmuls against [1, col] with fp32
+            # accumulation (both exact: 0/1 values, integer cols < 256)
+            key = jnp.where(roots, -flat_idx, -big)
+            top_vals, _ = lax.top_k(key, k_roots)          # (B, K)
+            ridx = -top_vals                               # ascending raster
+            rvalid = ridx < big
+            support = ((flat_lbl[:, None, :] == ridx[:, :, None])
+                       & flat_fg[:, None, :]).astype(jnp.bfloat16)  # (B,K,HW)
+            sums = jax.lax.dot_general(
+                support, ones_cols, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (B, K, 2)
+            areas_k, sumx_k = sums[..., 0], sums[..., 1]
+            survives = rvalid & (areas_k >= float(min_area))
+            # first `num_slots` survivors in raster order (stable compaction)
+            pos = jnp.broadcast_to(jnp.arange(k_roots)[None], (b, k_roots))
+            compact = jnp.where(survives, pos, k_roots + pos)
+            order1 = jnp.argsort(compact, axis=1)[:, :s_slots]
+            kept_valid = jnp.take_along_axis(survives, order1, axis=1)
+            mean_k = sumx_k / jnp.maximum(areas_k, 1.0)
+            kept_meanx = jnp.take_along_axis(mean_k, order1, axis=1)
+            sel = jnp.minimum(jnp.take_along_axis(ridx, order1, axis=1), hw - 1)
+            return _order_slots(sel, kept_meanx, kept_valid)
+        return fast_path
 
     def exact_path(_):
         # ALL components via one batched scatter-add (component id == root
@@ -190,9 +203,18 @@ def label_clusters(masks: jnp.ndarray, num_slots: int = 26, min_area: int = 30,
                   / jnp.maximum(jnp.take_along_axis(areas, sel_c, axis=1), 1.0))
         return _order_slots(sel_c, mean_x, valid)
 
-    few_components = jnp.max(roots.sum(axis=1)) <= fast_k
-    sel_sorted, valid_sorted = lax.cond(few_components, fast_path, exact_path,
-                                        operand=None)
+    fast_k = min(fast_k, hw)
+    mid_k = min(mid_k, hw)
+    n_max = jnp.max(roots.sum(axis=1))
+    if mid_k > fast_k:
+        sel_sorted, valid_sorted = lax.cond(
+            n_max <= fast_k, make_fast_path(fast_k),
+            lambda _: lax.cond(n_max <= mid_k, make_fast_path(mid_k),
+                               exact_path, operand=None),
+            operand=None)
+    else:
+        sel_sorted, valid_sorted = lax.cond(
+            n_max <= fast_k, make_fast_path(fast_k), exact_path, operand=None)
 
     chans = (lbl2d[:, None] == sel_sorted[:, :, None, None]) & fg2d[:, None]
     return (chans & valid_sorted[:, :, None, None]).astype(jnp.float32)
