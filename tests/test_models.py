@@ -253,3 +253,27 @@ def test_gelu_dtype_gating():
     dev = np.max(np.abs(np.asarray(jax.nn.gelu(xup, approximate=True))
                         - np.asarray(jax.nn.gelu(xup, approximate=False))))
     assert dev < 4e-3, dev
+
+
+def test_packed_qkv_matches_separate_projections(rng):
+    """qkv_heads_packed / kv_heads_packed are the SAME dot products as the
+    three separate linears (models/nrtr.py) — the packed trace-time concat
+    must be numerically identical, not just close, in fp32."""
+    from ccd_tpu.models.nrtr import MultiHeadAttention
+
+    mha = MultiHeadAttention(n_head=4, d_k=16, d_v=16, d_model=64,
+                             dropout=0.0, qkv_bias=True)
+    x = jax.random.normal(rng, (2, 7, 64))
+    params = mha.init(rng, x, x, x)
+
+    q1, k1, v1 = mha.apply(params, x, method=lambda m, y: m.qkv_heads_packed(y))
+    q0 = mha.apply(params, x, method=lambda m, y: m.q_heads(y))
+    k0 = mha.apply(params, x, method=lambda m, y: m.k_heads(y))
+    v0 = mha.apply(params, x, method=lambda m, y: m.v_heads(y))
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), atol=1e-6)
+
+    k2, v2 = mha.apply(params, x, method=lambda m, y: m.kv_heads_packed(y))
+    np.testing.assert_allclose(np.asarray(k2), np.asarray(k0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v0), atol=1e-6)
