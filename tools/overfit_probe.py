@@ -1,7 +1,13 @@
 """Quick learnability probe: overfit the micro recognizer on a handful of
-easy synthetic words and report greedy-decode word accuracy on the SAME
-images. Isolates model/step/decode from the CLI + data pipeline while
-diagnosing the convergence demo. CPU, runs in a couple of minutes."""
+synthetic words and report greedy-decode word accuracy on the SAME images.
+Isolates model/step/decode from the CLI + data pipeline while diagnosing the
+convergence demo. CPU, runs in a couple of minutes (with a warm .jax_cache_cpu).
+
+``--hard`` renders through the convergence demo's hard path (48x160 render,
+6 fonts, rotation, low contrast -> cv2.resize to 32x128), reproducing the
+exact pixels the production convergence run trains on.
+"""
+import argparse
 import os
 import sys
 import time
@@ -10,6 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
+from ccd_tpu.utils.cache import setup_compilation_cache
+setup_compilation_cache(os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "x"))
 import jax.numpy as jnp
 
 from ccd_tpu.convertor import AttnConvertor
@@ -18,12 +27,25 @@ from ccd_tpu.models.recognizer import CCDRecognizer
 from ccd_tpu.training.finetune_step import (init_finetune_state,
                                             make_fused_finetune_step)
 
-N, STEPS, LR = 32, 160, 1e-3
+ap = argparse.ArgumentParser()
+ap.add_argument("--hard", action="store_true")
+ap.add_argument("--n", type=int, default=32)
+ap.add_argument("--steps", type=int, default=160)
+ap.add_argument("--lr", type=float, default=1e-3)
+args = ap.parse_args()
+
+N, STEPS, LR = args.n, args.steps, args.lr
 rng = np.random.default_rng(0)
 words = random_words(N, rng, min_len=2, max_len=6)
 images = np.zeros((N, 32, 128, 3), np.uint8)
-for i, wd in enumerate(words):
-    images[i], _ = render_word(wd, 32, 128, rng)
+if args.hard:
+    import cv2
+    for i, wd in enumerate(words):
+        big, _ = render_word(wd, 48, 160, rng, hard=True)
+        images[i] = cv2.resize(big, (128, 32))
+else:
+    for i, wd in enumerate(words):
+        images[i], _ = render_word(wd, 32, 128, rng)
 
 conv = AttnConvertor("DICT90", max_seq_len=25, with_unknown=True)
 targets = conv.str2tensor(words)
@@ -42,7 +64,8 @@ for it in range(STEPS):
     state, metrics = step(state, imgs_d, tgts_d)
     if it % 50 == 0 or it == STEPS - 1:
         print(f"it {it:4d} loss {float(metrics['loss']):.4f} "
-              f"lr {float(metrics['lr']):.2e} ({time.time()-t0:.0f}s)")
+              f"lr {float(metrics['lr']):.2e} ({time.time()-t0:.0f}s)",
+              flush=True)
 
 # greedy decode on the training images (normalized the same way)
 from ccd_tpu.data.augment import normalize
